@@ -1,0 +1,106 @@
+"""Configuration for the aligner.
+
+Mirrors the reference CLI surface behaviorally (SURVEY.md section 1:
+``lamsa aln [opts] <ref.fa> <reads.fq>`` with threads, seed length /
+per-seed edits, scoring, band width, SV-size bound, read-type presets).
+The reference's defaults are tagged [U] in SURVEY.md (unverifiable in this
+environment — the mount was empty); values here are our own documented
+defaults chosen to match the published algorithm description.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ScoreParams:
+    """Affine-gap scoring, ksw conventions (SURVEY.md section 3.4).
+
+    A gap of length L costs ``gap_open + L * gap_ext``.
+    """
+
+    match: int = 1
+    mismatch: int = 3       # penalty (positive)
+    gap_open: int = 5       # penalty (positive)
+    gap_ext: int = 2        # penalty (positive)
+    # Soft-clip penalty for end extension: extend to the read end only if
+    # global-to-end score >= max-cell score - end_bonus (bwa-mem-style).
+    end_bonus: int = 5
+    # X-drop for extension termination (generous; band already limits work).
+    zdrop: int = 100
+
+    def as_tuple(self):
+        return (self.match, self.mismatch, self.gap_open, self.gap_ext)
+
+
+@dataclasses.dataclass(frozen=True)
+class AlignConfig:
+    """End-to-end aligner configuration.
+
+    Seeding follows the reference's design point (SURVEY.md section 1
+    stage 1): ~50 bp seeds every ``seed_step`` bp, each matched
+    approximately (<= seed_max_edits). Our TPU-native matcher uses the
+    pigeonhole principle: each seed is cut into ``seed_max_edits + 1``
+    exact pieces of length ``kmer`` that are matched exactly against a
+    sorted k-mer index (pure gathers, XLA-friendly), then verified.
+    """
+
+    scores: ScoreParams = dataclasses.field(default_factory=ScoreParams)
+
+    # --- seeding ---
+    seed_len: int = 50          # reference default ~50 bp [U]
+    seed_step: int = 25         # seed spacing along the read
+    seed_max_edits: int = 3     # reference default ~3 [U]
+    kmer: int = 13              # exact piece length for pigeonhole matching
+    max_hits_per_kmer: int = 64     # drop k-mers more frequent than this
+    max_cands_per_seed: int = 16    # candidate loci kept per seed
+    max_seeds_per_read: int = 128   # static shape bound (reads bucketed)
+    max_hits_per_read: int = 512    # static bound on chain input
+
+    # --- chaining (SURVEY.md section 3.3 sparse DP) ---
+    chain_lookback: int = 32        # bounded predecessor scan window
+    chain_max_dist: int = 5000      # max ref/read gap within one chain
+    chain_diag_slack: int = 100     # max diagonal drift within one chain
+    chain_min_score: int = 2        # min seeds' worth of score to keep chain
+    max_chains_per_read: int = 8    # split parts bound (multi-chain keep)
+
+    # --- SV classification (SURVEY.md section 1 stage 2) ---
+    sv_min_size: int = 30           # smaller gaps handled inside one part
+    sv_max_size: int = 100000       # reference jump beyond this -> transloc
+
+    # --- extension / banded DP (SURVEY.md section 3.4) ---
+    band_width: int = 64            # half-band; kernel lane width = 128
+    max_gap_fill: int = 2048        # largest gap filled by DP (else split)
+    bucket_sizes: tuple = (64, 128, 256, 512, 1024, 2048)
+
+    # --- batching / parallelism ---
+    batch_reads: int = 512          # reads per device batch
+    read_len_buckets: tuple = (512, 1024, 2048, 4096, 8192, 16384, 32768,
+                               65536, 131072)
+    threads: int = 1                # host threads for traceback/SAM
+
+    # --- output ---
+    rg_id: str | None = None
+    report_secondary: bool = False
+
+    def replace(self, **kw) -> "AlignConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def preset(name: str) -> AlignConfig:
+    """Read-type presets, mirroring the reference's pacbio/ont presets
+    that re-tune scoring and seeding (SURVEY.md section 1)."""
+    base = AlignConfig()
+    if name in ("pacbio", "pb", "clr"):
+        # High indel rate: cheaper gaps, denser seeds.
+        return base.replace(
+            scores=ScoreParams(match=1, mismatch=3, gap_open=2, gap_ext=1),
+            kmer=13, seed_step=20)
+    if name in ("ont", "ont2d", "nanopore"):
+        return base.replace(
+            scores=ScoreParams(match=1, mismatch=3, gap_open=2, gap_ext=1),
+            kmer=13, seed_step=20)
+    if name in ("default", "hifi", "ccs"):
+        return base
+    raise ValueError(f"unknown preset: {name!r}")
