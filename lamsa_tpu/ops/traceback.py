@@ -1,0 +1,66 @@
+"""Host-side CIGAR traceback over banded direction arrays.
+
+The DP kernels (XLA / Pallas) emit per-cell direction bytes in band-lane
+coordinates (lane d of row i = cell (i, j) with j = i + lo + d; byte
+layout in ops/oracle.py). Scores vectorize on the TPU but traceback is
+inherently sequential, so it runs on the host — O(m + n) per gap, tiny
+compared to the O(m * W) DP (SURVEY.md section 7 "Hard parts" item 2).
+A native C++ implementation lives in native/traceback.cpp; this module
+is the NumPy fallback and the semantics spec.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lamsa_tpu.io.sam import OP_D, OP_I, OP_M
+from lamsa_tpu.ops.oracle import E_EXT_BIT, F_EXT_BIT, H_FROM_DIAG, H_FROM_E
+
+
+def traceback_banded(dirs: np.ndarray, lo: int, i: int, j: int):
+    """Walk from DP cell (i, j) back to (0, 0).
+
+    Args:
+      dirs: uint8[M, W] direction bytes for one instance (row r at
+            index r-1).
+      lo:   band low offset.
+      i, j: end cell (for global: i=m, j=n; for extend: the best cell).
+
+    Returns CIGAR [(op, len), ...] in forward order.
+    """
+    ops: list[list[int]] = []
+
+    def push(op, ln=1):
+        if ops and ops[-1][0] == op:
+            ops[-1][1] += ln
+        else:
+            ops.append([op, ln])
+
+    state = 0  # 0=H, 1=E, 2=F
+    while i > 0 and j > 0:
+        d = int(dirs[i - 1, j - i - lo])
+        if state == 0:
+            src = d & 3
+            if src == H_FROM_DIAG:
+                push(OP_M)
+                i -= 1
+                j -= 1
+            elif src == H_FROM_E:
+                state = 1
+            else:
+                state = 2
+        elif state == 1:
+            push(OP_D)
+            if not (d & E_EXT_BIT):
+                state = 0
+            j -= 1
+        else:
+            push(OP_I)
+            if not (d & F_EXT_BIT):
+                state = 0
+            i -= 1
+    if j > 0:
+        push(OP_D, j)
+    if i > 0:
+        push(OP_I, i)
+    return [(op, ln) for op, ln in reversed(ops)]
