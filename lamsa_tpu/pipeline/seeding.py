@@ -1,0 +1,119 @@
+"""On-device seeding: batched k-mer extraction, index lookup, hit packing.
+
+TPU-native replacement for the reference's seed-FASTQ -> fork/exec
+gem-mapper -> parse ``.map`` pipeline stage (SURVEY.md sections 3.2/2b
+"Seeding glue"): instead of a subprocess boundary, seeding is one jitted
+function of (read batch, index arrays) -> per-read hit arrays, all
+gathers and a vectorized binary search — no host round-trip.
+
+Both strands are sampled from the same physical read windows: the
+reverse-complement k-mer of the window at forward position p represents
+the reverse-complemented read's k-mer at rc-coordinate (read_len - p - k).
+Reverse-strand chains therefore live in rc-read coordinates, which is
+exactly the orientation SAM reverse-strand records use.
+
+Hit packing: hits are sorted per read by (strand, qpos, rpos) with a
+two-key lexicographic ``lax.sort`` — the order the chain kernel
+(ops/chain.py) requires — and truncated to a static max_hits_per_read.
+All device integers are 32-bit (TPUs have no native int64); reference
+positions are uint32 bit-patterns carried in int32 arrays, so genomes up
+to 4 Gb (GRCh38 = 3.1 Gb) are addressable. Hosts must reinterpret with
+``.view(np.uint32)`` before widening.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_QPOS_BITS = 19                       # reads up to 512 kb
+INVALID_K1 = jnp.int32(1 << 24)       # > any strand<<QPOS_BITS | qpos
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cands_per_seed",
+                                             "max_hits"))
+def seed_hits(read_codes, read_len, qpos_grid, idx_keys, idx_starts,
+              idx_counts, idx_positions, *, k, cands_per_seed, max_hits):
+    """Compute seed hits for a batch of reads.
+
+    Args:
+      read_codes: int32[B, L] nt4 codes, padded with 4 (N).
+      read_len:   int32[B].
+      qpos_grid:  int32[S] static sample positions (window starts).
+      idx_keys/starts/counts: KmerIndex arrays (device-resident).
+      idx_positions: uint32[P] reference positions.
+      k, cands_per_seed, max_hits: static config.
+
+    Returns dict: qpos int32[B,H], rpos uint32[B,H] (bit-pattern),
+    strand int32[B,H], valid bool[B,H]; sorted by (strand, qpos, rpos).
+    """
+    B, L = read_codes.shape
+    S = qpos_grid.shape[0]
+    C = cands_per_seed
+
+    # ---- window gather: (B, S, k)
+    win_idx = qpos_grid[:, None] + jnp.arange(k)[None, :]        # (S, k)
+    win = read_codes[:, win_idx]                                  # (B, S, k)
+    win_ok = jnp.all(win < 4, axis=2) & (
+        (qpos_grid[None, :] + k) <= read_len[:, None])            # (B, S)
+
+    # ---- keys, both strands, from the same windows
+    w32 = win.astype(jnp.uint32) & jnp.uint32(3)
+    shifts_f = (2 * (k - 1 - jnp.arange(k))).astype(jnp.uint32)
+    shifts_r = (2 * jnp.arange(k)).astype(jnp.uint32)
+    key_f = jnp.sum(w32 << shifts_f[None, None, :], axis=2,
+                    dtype=jnp.uint32)
+    key_r = jnp.sum((w32 ^ jnp.uint32(3)) << shifts_r[None, None, :], axis=2,
+                    dtype=jnp.uint32)
+
+    def lookup(keys):                                             # (B, S)
+        i = jnp.searchsorted(idx_keys, keys)                      # (B, S)
+        i_c = jnp.minimum(i, idx_keys.shape[0] - 1)
+        found = (i < idx_keys.shape[0]) & (idx_keys[i_c] == keys)
+        start = idx_starts[i_c]
+        count = jnp.minimum(idx_counts[i_c], C)
+        offs = jnp.arange(C)[None, None, :]
+        pidx = jnp.minimum(start[:, :, None] + offs,
+                           idx_positions.shape[0] - 1)
+        pos = idx_positions[pidx]                                 # (B, S, C)
+        ok = found[:, :, None] & (offs < count[:, :, None])
+        return pos, ok
+
+    pos_f, ok_f = lookup(key_f)
+    pos_r, ok_r = lookup(key_r)
+
+    # ---- hit coordinates
+    qp_f = jnp.broadcast_to(qpos_grid[None, :, None], (B, S, C)
+                            ).astype(jnp.int32)
+    qp_r = read_len[:, None, None] - qp_f - k                     # rc coords
+    ok_f = ok_f & win_ok[:, :, None]
+    ok_r = ok_r & win_ok[:, :, None]
+
+    def k1(qp, strand, ok):
+        v = (jnp.int32(strand) << _QPOS_BITS) | qp
+        return jnp.where(ok, v, INVALID_K1)
+
+    key1 = jnp.concatenate(
+        [k1(qp_f, 0, ok_f).reshape(B, S * C),
+         k1(qp_r, 1, ok_r).reshape(B, S * C)], axis=1)
+    key2 = jnp.concatenate(
+        [pos_f.reshape(B, S * C), pos_r.reshape(B, S * C)], axis=1)
+
+    key1, key2 = jax.lax.sort((key1, key2), dimension=1, num_keys=2)
+    key1 = key1[:, :max_hits]
+    key2 = key2[:, :max_hits]
+
+    valid = key1 < INVALID_K1
+    qpos = jnp.where(valid, key1 & ((1 << _QPOS_BITS) - 1), 0)
+    strand = jnp.where(valid, key1 >> _QPOS_BITS, 0)
+    rpos = jnp.where(valid, key2, jnp.uint32(0))
+    return {"qpos": qpos, "rpos": rpos, "strand": strand, "valid": valid}
+
+
+def make_qpos_grid(bucket_len: int, k: int, step: int):
+    """Static sample grid for a read-length bucket."""
+    import numpy as np
+    n = max(1, (bucket_len - k) // step + 1)
+    return np.arange(n, dtype=np.int32) * step
