@@ -1,0 +1,141 @@
+"""Command-line interface.
+
+Mirrors the reference CLI behaviorally (SURVEY.md section 1):
+
+    lamsa index <ref.fa>                  # build index next to ref.fa
+    lamsa aln [opts] <ref.fa> <reads.fq>  # align; SAM to stdout or -o
+
+Run as ``python -m lamsa_tpu.cli`` or via the ``lamsa-tpu`` script.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+
+def _index_dir(ref_path: str) -> str:
+    return ref_path + ".lti"
+
+
+def auto_kmer(genome_len: int) -> int:
+    """Index k-mer size scaled to genome size: ~log4(L) + 2, in [13, 16]
+    (keeps expected random hits per k-mer around or below 1)."""
+    return int(min(16, max(13, math.ceil(math.log(max(genome_len, 2), 4))
+                           + 2)))
+
+
+def cmd_index(args) -> int:
+    from lamsa_tpu.index.kmer import KmerIndex
+    from lamsa_tpu.io.refpack import PackedReference
+
+    t0 = time.time()
+    ref = PackedReference.from_fasta(args.ref)
+    k = args.kmer or auto_kmer(ref.total_len)
+    print(f"[lamsa_tpu index] packed {ref.num_seqs} seq(s), "
+          f"{ref.total_len} bp; k={k}", file=sys.stderr)
+    idx = KmerIndex.build(ref.codes, k,
+                          max_hits_per_kmer=args.max_hits_per_kmer)
+    out = _index_dir(args.ref)
+    ref.save(out)
+    idx.save(out)
+    print(f"[lamsa_tpu index] {len(idx.keys)} distinct k-mers, "
+          f"{len(idx.positions)} positions -> {out} "
+          f"({time.time() - t0:.1f}s)", file=sys.stderr)
+    return 0
+
+
+def cmd_aln(args) -> int:
+    import os
+
+    from lamsa_tpu.config import ScoreParams, preset
+    from lamsa_tpu.index.kmer import KmerIndex
+    from lamsa_tpu.io.fasta import read_fastx
+    from lamsa_tpu.io.refpack import PackedReference
+    from lamsa_tpu.io.sam import format_sam_record, sam_header
+    from lamsa_tpu.pipeline.aln import align_reads
+
+    idx_dir = _index_dir(args.ref)
+    if not os.path.isdir(idx_dir):
+        print(f"[lamsa_tpu aln] no index at {idx_dir}; "
+              f"run 'lamsa index {args.ref}' first", file=sys.stderr)
+        return 1
+    ref = PackedReference.load(idx_dir)
+    index = KmerIndex.load(idx_dir)
+
+    cfg = preset(args.preset)
+    scores = ScoreParams(match=args.match, mismatch=args.mismatch,
+                         gap_open=args.gap_open, gap_ext=args.gap_ext,
+                         end_bonus=cfg.scores.end_bonus)
+    cfg = cfg.replace(scores=scores, seed_step=args.seed_step,
+                      batch_reads=args.batch_reads,
+                      band_width=args.band_width)
+
+    out = open(args.output, "w") if args.output else sys.stdout
+    cl = " ".join(sys.argv[1:])
+    print(sam_header(ref, f"lamsa_tpu aln {cl}", rg_id=cfg.rg_id), file=out)
+
+    t0 = time.time()
+    n_reads = 0
+    n_records = 0
+    for recs in align_reads(ref, index, read_fastx(args.reads), cfg):
+        n_reads += 1
+        for rec in recs:
+            print(format_sam_record(rec), file=out)
+            n_records += 1
+        if n_reads % 1000 == 0:
+            dt = time.time() - t0
+            print(f"[lamsa_tpu aln] {n_reads} reads, "
+                  f"{n_reads / dt:.1f} reads/s", file=sys.stderr)
+    dt = time.time() - t0
+    print(f"[lamsa_tpu aln] done: {n_reads} reads -> {n_records} records "
+          f"in {dt:.1f}s ({n_reads / max(dt, 1e-9):.1f} reads/s)",
+          file=sys.stderr)
+    if args.output:
+        out.close()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="lamsa-tpu",
+        description="TPU-native long-read split aligner "
+                    "(LAMSA capabilities, rebuilt for JAX/XLA/Pallas)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("index", help="build reference index")
+    pi.add_argument("ref", help="reference FASTA")
+    pi.add_argument("-k", "--kmer", type=int, default=None,
+                    help="index k-mer length (default: auto from genome)")
+    pi.add_argument("--max-hits-per-kmer", type=int, default=64)
+    pi.set_defaults(func=cmd_index)
+
+    pa = sub.add_parser("aln", help="align long reads, emit SAM")
+    pa.add_argument("ref", help="reference FASTA (indexed)")
+    pa.add_argument("reads", help="reads FASTA/FASTQ (.gz ok)")
+    pa.add_argument("-o", "--output", default=None, help="SAM output path")
+    pa.add_argument("-t", "--threads", type=int, default=1,
+                    help="host worker threads (traceback/SAM)")
+    pa.add_argument("-x", "--preset", default="pacbio",
+                    choices=["pacbio", "ont", "default", "hifi"],
+                    help="read-type preset (re-tunes scoring/seeding)")
+    pa.add_argument("-A", "--match", type=int, default=1)
+    pa.add_argument("-B", "--mismatch", type=int, default=3)
+    pa.add_argument("-O", "--gap-open", type=int, default=2)
+    pa.add_argument("-E", "--gap-ext", type=int, default=1)
+    pa.add_argument("-w", "--band-width", type=int, default=64)
+    pa.add_argument("-s", "--seed-step", type=int, default=20)
+    pa.add_argument("--batch-reads", type=int, default=512)
+    pa.set_defaults(func=cmd_aln)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,349 @@
+"""End-to-end alignment pipeline (the aln orchestrator).
+
+TPU-native equivalent of the reference's ``lamsa_aln`` driver
+(SURVEY.md sections 2 L2 and 3.2): batches of reads flow through
+
+  device:  seeding (pipeline/seeding.py)  ->  chaining (ops/chain.py)
+  host:    skeleton assembly + SV classification (pipeline/skeleton.py)
+  device:  bucketed banded-DP gap fill + end extension (pipeline/extend.py)
+  host:    CIGAR stitching, MAPQ, primary/supplementary selection,
+           SA:Z linking, SAM records (io/sam.py)
+
+Where the reference used a pthread pool over reads, parallelism here is
+the batch dimension of the device kernels (and, across chips, data
+parallelism over read shards — parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from lamsa_tpu.config import AlignConfig
+from lamsa_tpu.index.kmer import KmerIndex
+from lamsa_tpu.io.fasta import encode_seq
+from lamsa_tpu.io.refpack import PackedReference
+from lamsa_tpu.io.sam import (FLAG_REVERSE, FLAG_SUPPLEMENTARY, OP_M, OP_S,
+                              SamRecord, unmapped_record)
+from lamsa_tpu.ops.chain import chain_hits
+from lamsa_tpu.pipeline.extend import EXT_MARGIN, DpBatcher, compute_nm
+from lamsa_tpu.pipeline.seeding import make_qpos_grid, seed_hits
+from lamsa_tpu.pipeline.skeleton import anchors_to_blocks, build_skeleton
+
+_EXT_CAP = 2048          # longest end extension attempted (rest soft-clips)
+
+
+def _revcomp_codes(codes: np.ndarray) -> np.ndarray:
+    comp = np.array([3, 2, 1, 0, 4], np.uint8)
+    return comp[codes[::-1]]
+
+
+@dataclasses.dataclass
+class _PendingPart:
+    part: object
+    blocks: np.ndarray
+    gap_handles: list          # DP handles between blocks (or ("op", len))
+    left_handle: int | None
+    right_handle: int | None
+    o_lo: int
+    o_hi: int
+
+
+class Aligner:
+    def __init__(self, ref: PackedReference, index: KmerIndex,
+                 config: AlignConfig | None = None):
+        import jax.numpy as jnp
+        self.ref = ref
+        self.index = index
+        self.config = config or AlignConfig()
+        self._dev = {
+            "keys": jnp.asarray(index.keys),
+            "starts": jnp.asarray(index.starts),
+            "counts": jnp.asarray(index.counts),
+            "positions": jnp.asarray(index.positions.astype(np.uint32)),
+        }
+        self._grids = {}
+
+    # ------------------------------------------------------------- batching
+
+    def _bucket_len(self, n: int) -> int:
+        for b in self.config.read_len_buckets:
+            if n <= b:
+                return b
+        return int(2 ** math.ceil(math.log2(n)))
+
+    def align_batch(self, reads) -> list[list[SamRecord]]:
+        """Align a list of FastxRecords; returns SAM records per read,
+        in input order."""
+        cfg = self.config
+        out: list[list[SamRecord] | None] = [None] * len(reads)
+        codes = [np.frombuffer(encode_seq(r.seq), np.uint8) for r in reads]
+
+        groups: dict[int, list[int]] = {}
+        for i, c in enumerate(codes):
+            groups.setdefault(self._bucket_len(max(len(c), cfg.kmer + 1)),
+                              []).append(i)
+
+        batcher = DpBatcher(cfg.scores)
+        pending: list[tuple[int, list[_PendingPart], object]] = []
+
+        for L, idxs in sorted(groups.items()):
+            hit_arrays = self._seed_and_chain(codes, idxs, L)
+            for gi, ri in enumerate(idxs):
+                sk = self._build_skeleton(hit_arrays, gi, len(codes[ri]))
+                parts = self._enqueue_parts(sk, codes[ri], batcher)
+                pending.append((ri, parts, sk))
+
+        batcher.run()
+
+        for ri, parts, sk in pending:
+            out[ri] = self._finalize_read(reads[ri], codes[ri], parts, sk,
+                                          batcher)
+        return out
+
+    # -------------------------------------------------------- device stages
+
+    def _seed_and_chain(self, codes, idxs, L):
+        cfg = self.config
+        B = len(idxs)
+        rc = np.full((B, L), 4, np.int32)
+        lens = np.zeros(B, np.int32)
+        for b, ri in enumerate(idxs):
+            c = codes[ri][:L]
+            rc[b, :len(c)] = c
+            lens[b] = len(c)
+        if L not in self._grids:
+            self._grids[L] = make_qpos_grid(L, self.index.k, cfg.seed_step)
+        grid = self._grids[L]
+        hits = seed_hits(rc, lens, grid, self._dev["keys"],
+                         self._dev["starts"], self._dev["counts"],
+                         self._dev["positions"], k=self.index.k,
+                         cands_per_seed=cfg.max_cands_per_seed,
+                         max_hits=cfg.max_hits_per_read)
+        f, pred = chain_hits(hits["qpos"], hits["rpos"], hits["strand"],
+                             hits["valid"], weight=self.index.k,
+                             lookback=cfg.chain_lookback,
+                             max_dist=cfg.chain_max_dist,
+                             diag_slack=cfg.chain_diag_slack)
+        return {
+            "qpos": np.asarray(hits["qpos"]),
+            "rpos": np.asarray(hits["rpos"]).view(np.uint32)
+                      .astype(np.int64),
+            "strand": np.asarray(hits["strand"]),
+            "valid": np.asarray(hits["valid"]),
+            "f": np.asarray(f),
+            "pred": np.asarray(pred),
+        }
+
+    def _build_skeleton(self, h, gi, read_len):
+        return build_skeleton(
+            h["f"][gi], h["pred"][gi], h["qpos"][gi], h["rpos"][gi],
+            h["strand"][gi], h["valid"][gi], k=self.index.k,
+            read_len=read_len, ref=self.ref, config=self.config)
+
+    # ------------------------------------------------------- part alignment
+
+    def _enqueue_parts(self, sk, read_codes, batcher) -> list[_PendingPart]:
+        cfg = self.config
+        L = len(read_codes)
+        rc_codes = None
+        pend = []
+        n_parts = len(sk.parts)
+        for pi, part in enumerate(sk.parts):
+            if part.strand == 0:
+                qseq = read_codes
+            else:
+                if rc_codes is None:
+                    rc_codes = _revcomp_codes(read_codes)
+                qseq = rc_codes
+            blocks = anchors_to_blocks(part.anchors, self.index.k)
+            if len(blocks) == 0:
+                continue
+
+            # read-space neighbor bounds -> oriented coords
+            read_lo = sk.parts[pi - 1].read_end if pi > 0 else 0
+            read_hi = sk.parts[pi + 1].read_start if pi < n_parts - 1 else L
+            read_lo = min(read_lo, part.read_start)
+            read_hi = max(read_hi, part.read_end)
+            if part.strand == 0:
+                o_lo, o_hi = read_lo, read_hi
+            else:
+                o_lo, o_hi = L - read_hi, L - read_lo
+
+            gap_handles = []
+            for (qa, ra, la), (qb, rb, _lb) in zip(blocks, blocks[1:]):
+                q_seg = qseq[qa + la:qb]
+                t_seg = self.ref.codes[ra + la:rb]
+                gap_handles.append(batcher.add_global(q_seg, t_seg))
+
+            # left extension (reversed)
+            q0, r0 = int(blocks[0][0]), int(blocks[0][1])
+            ls = max(int(o_lo), q0 - _EXT_CAP)
+            q_seg = qseq[ls:q0][::-1]
+            tlen = min(len(q_seg) + EXT_MARGIN, r0)
+            t_seg = self.ref.codes[r0 - tlen:r0][::-1]
+            left_handle = batcher.add_extend(q_seg, t_seg,
+                                             cfg.scores.end_bonus)
+            # right extension
+            qe = int(blocks[-1][0] + blocks[-1][2])
+            re_ = int(blocks[-1][1] + blocks[-1][2])
+            rs2 = min(int(o_hi), qe + _EXT_CAP)
+            q_seg = qseq[qe:rs2]
+            tlen = min(len(q_seg) + EXT_MARGIN,
+                       self.ref.total_len - re_)
+            t_seg = self.ref.codes[re_:re_ + tlen]
+            right_handle = batcher.add_extend(q_seg, t_seg,
+                                              cfg.scores.end_bonus)
+            pend.append(_PendingPart(part=part, blocks=blocks,
+                                     gap_handles=gap_handles,
+                                     left_handle=left_handle,
+                                     right_handle=right_handle,
+                                     o_lo=o_lo, o_hi=o_hi))
+        return pend
+
+    def _finalize_read(self, read, read_codes, pend, sk, batcher):
+        cfg = self.config
+        L = len(read_codes)
+        if not pend:
+            return [unmapped_record(read.name, read.seq, read.qual)]
+
+        finals = []
+        for pp in pend:
+            rec = self._finalize_part(pp, read_codes, sk, batcher, L)
+            if rec is not None:
+                finals.append(rec)
+        if not finals:
+            return [unmapped_record(read.name, read.seq, read.qual)]
+
+        # primary = best score; others supplementary
+        finals.sort(key=lambda fr: (-fr["score"], fr["read_start"]))
+        records = []
+        rc_seq = rc_qual = None
+        for rank, fr in enumerate(finals):
+            flag = 0
+            if fr["strand"] == 1:
+                flag |= FLAG_REVERSE
+            if rank > 0:
+                flag |= FLAG_SUPPLEMENTARY
+            if fr["strand"] == 0:
+                seq, qual = read.seq, read.qual
+            else:
+                if rc_seq is None:
+                    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+                    rc_seq = "".join(comp.get(ch, "N")
+                                     for ch in reversed(read.seq))
+                    rc_qual = read.qual[::-1] if read.qual else None
+                seq, qual = rc_seq, rc_qual
+            sid, local_pos = self.ref.global_to_local(fr["pos"])
+            records.append(SamRecord(
+                qname=read.name, flag=flag, rname=self.ref.names[sid],
+                pos=local_pos, mapq=fr["mapq"], cigar=fr["cigar"], seq=seq,
+                qual=qual, tags={"NM": fr["nm"], "AS": fr["score"]}))
+        if len(records) > 1:
+            for i, rec in enumerate(records):
+                others = [r.sa_item() for j, r in enumerate(records)
+                          if j != i]
+                rec.tags["SA"] = ";".join(others) + ";"
+        if sk.events and any(e["type"] != "gap" for e in sk.events):
+            sv = ",".join(e["type"] for e in sk.events if e["type"] != "gap")
+            for rec in records:
+                rec.tags["sv"] = sv
+        return records
+
+    def _finalize_part(self, pp, read_codes, sk, batcher, L):
+        cfg = self.config
+        part = pp.part
+        qseq = read_codes if part.strand == 0 else _revcomp_codes(read_codes)
+        blocks = pp.blocks
+        match = cfg.scores.match
+
+        core = []                     # cigar without clips
+        score = 0
+        left = batcher.result(pp.left_handle)
+        right = batcher.result(pp.right_handle)
+
+        q0, r0 = int(blocks[0][0]), int(blocks[0][1])
+        qs_cov = q0 - left.q_used
+        pos = r0 - left.t_used
+        score += left.score
+        core.extend(reversed(left.cigar))
+
+        for bi, (bq, br, bl) in enumerate(blocks):
+            core.append((OP_M, int(bl)))
+            score += int(bl) * match
+            if bi < len(blocks) - 1:
+                g = batcher.result(pp.gap_handles[bi])
+                core.extend(g.cigar)
+                score += g.score
+
+        qe = int(blocks[-1][0] + blocks[-1][2])
+        core.extend(right.cigar)
+        score += right.score
+        qe_cov = qe + right.q_used
+
+        # merge adjacent same ops
+        merged = []
+        for op, ln in core:
+            if ln <= 0:
+                continue
+            if merged and merged[-1][0] == op:
+                merged[-1][1] += ln
+            else:
+                merged.append([op, ln])
+        if not any(op == OP_M for op, _ in merged):
+            return None
+
+        from lamsa_tpu.io.sam import cigar_ref_len
+        ref_len = cigar_ref_len(merged)
+        nm = compute_nm(qseq[qs_cov:qe_cov],
+                        self.ref.codes[pos:pos + ref_len], merged)
+
+        cigar = []
+        if qs_cov > 0:
+            cigar.append((OP_S, qs_cov))
+        cigar.extend((op, ln) for op, ln in merged)
+        if qe_cov < L:
+            cigar.append((OP_S, L - qe_cov))
+
+        mapq = self._mapq(part, sk)
+        # read-space span of the final alignment
+        if part.strand == 0:
+            rs, re_ = qs_cov, qe_cov
+        else:
+            rs, re_ = L - qe_cov, L - qs_cov
+        return {"strand": part.strand, "pos": pos, "cigar": cigar,
+                "score": score, "nm": nm, "mapq": mapq, "read_start": rs,
+                "read_end": re_}
+
+    def _mapq(self, part, sk) -> int:
+        """MAPQ from chain-score margin (our own documented formula; the
+        reference's exact formula is unrecoverable — empty mount,
+        SURVEY.md section 0): 40 * (1 - alt/score) scaled by anchor
+        count, clamped to [0, 60]."""
+        s1 = max(part.score, 1)
+        s2 = max(sk.alt_score, 0)
+        if s2 >= s1:
+            return 0
+        m = 40.0 * (1.0 - s2 / s1) * min(1.0, part.n_anchors / 10.0)
+        return int(max(0, min(60, round(m + 20 * min(1.0, part.n_anchors
+                                                     / 20.0)))))
+
+
+def align_reads(ref: PackedReference, index: KmerIndex, reads,
+                config: AlignConfig | None = None,
+                batch_size: int | None = None):
+    """Convenience: align an iterable of reads, yielding SAM record lists
+    per read in input order."""
+    cfg = config or AlignConfig()
+    aligner = Aligner(ref, index, cfg)
+    batch: list = []
+    bs = batch_size or cfg.batch_reads
+    for r in reads:
+        batch.append(r)
+        if len(batch) >= bs:
+            yield from aligner.align_batch(batch)
+            batch = []
+    if batch:
+        yield from aligner.align_batch(batch)

@@ -1,0 +1,197 @@
+"""Gap filling and end extension (the "frag check" stage).
+
+Mirrors the reference's frag_check + ksw stage (SURVEY.md section 3.3
+HOT LOOP #1): within each skeleton part, the gaps between adjacent
+anchor blocks are aligned with banded affine-gap DP, the two part ends
+are extended with max-cell tracking for soft-clip decisions, and the
+per-segment CIGARs are stitched.
+
+TPU shape discipline (SURVEY.md section 5 "Long-context" row): every
+gap/end instance from every read in the batch is thrown into one
+``DpBatcher``, bucketed by padded query length into static (M, W)
+shapes, and executed as a handful of dense batched kernel calls —
+length-bucketed batching keeps the DP lanes dense despite wildly
+variable gap sizes. Traceback is host-side over the returned direction
+bands (ops/traceback.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from lamsa_tpu.io.sam import OP_D, OP_I, OP_M
+from lamsa_tpu.ops.banded_sw_xla import banded_sw_batch, make_t_window
+from lamsa_tpu.ops.oracle import NEG_INF
+from lamsa_tpu.ops.traceback import traceback_banded
+
+# (max query length, band width) buckets; instances pick the smallest
+# bucket that fits. W=128 lanes for short gaps, 256 for long ones.
+BUCKETS = ((64, 128), (128, 128), (256, 256), (512, 256), (1024, 256),
+           (2048, 256))
+
+# Extra target bases given to end extensions beyond the query length;
+# must stay below min(W)//2 - 8 so the band reaches the last DP row.
+EXT_MARGIN = 48
+
+
+@dataclasses.dataclass
+class DpResult:
+    score: int
+    cigar: list                 # [(op, len)]
+    q_used: int                 # query chars consumed
+    t_used: int                 # target chars consumed
+
+
+class DpBatcher:
+    """Collect global/extend DP instances, run them bucketed, hand back
+    per-instance results by handle."""
+
+    def __init__(self, scores, kernel=banded_sw_batch):
+        self.scores = scores
+        self.kernel = kernel
+        self._inst: list[dict] = []
+        self._results: list[DpResult | None] = []
+
+    # ------------------------------------------------------------ enqueue
+
+    def add_global(self, q: np.ndarray, t: np.ndarray) -> int:
+        """Global alignment of q vs t (both fully consumed)."""
+        idx = len(self._results)
+        if len(q) == 0 and len(t) == 0:
+            self._results.append(DpResult(0, [], 0, 0))
+        elif len(q) == 0:
+            s = -(self.scores.gap_open + len(t) * self.scores.gap_ext)
+            self._results.append(DpResult(s, [(OP_D, len(t))], 0, len(t)))
+        elif len(t) == 0:
+            s = -(self.scores.gap_open + len(q) * self.scores.gap_ext)
+            self._results.append(DpResult(s, [(OP_I, len(q))], len(q), 0))
+        else:
+            self._results.append(None)
+            self._inst.append({"idx": idx, "kind": "global",
+                               "q": np.asarray(q, np.uint8),
+                               "t": np.asarray(t, np.uint8)})
+        return idx
+
+    def add_extend(self, q: np.ndarray, t: np.ndarray,
+                   to_end_bonus: int) -> int:
+        """Extension from (0,0) into q/t; soft-clip decision applied:
+        result consumes all of q iff to_end >= best - to_end_bonus."""
+        idx = len(self._results)
+        if len(q) == 0 or len(t) == 0:
+            # nothing to extend into (empty query, or anchor at ref edge)
+            self._results.append(DpResult(0, [], 0, 0))
+        else:
+            self._results.append(None)
+            self._inst.append({"idx": idx, "kind": "extend",
+                               "q": np.asarray(q, np.uint8),
+                               "t": np.asarray(t, np.uint8),
+                               "bonus": to_end_bonus})
+        return idx
+
+    # ---------------------------------------------------------------- run
+
+    def run(self) -> None:
+        groups: dict[tuple, list] = {}
+        for inst in self._inst:
+            m, n = len(inst["q"]), len(inst["t"])
+            for M, W in BUCKETS:
+                if inst["kind"] == "global":
+                    fits = m <= M and abs(n - m) + 1 <= W - 16
+                else:  # extend: caller caps n <= m + EXT_MARGIN
+                    fits = m <= M and n - m <= W // 2 - 8
+                if fits:
+                    key = (M, W)
+                    break
+            else:
+                # no bucket fits (pathological gap) — crude fallback
+                s = -(2 * self.scores.gap_open
+                      + (m + n) * self.scores.gap_ext)
+                self._results[inst["idx"]] = DpResult(
+                    s, [(OP_I, m), (OP_D, n)], m, n)
+                continue
+            groups.setdefault(key, []).append(inst)
+        self._inst = []
+        for (M, W), insts in sorted(groups.items()):
+            self._run_group(insts, M, W)
+
+    def _run_group(self, insts, M, W):
+        B = len(insts)
+        q = np.zeros((B, M), np.int32)
+        t_win = np.zeros((B, M + W), np.int32)
+        m_len = np.zeros(B, np.int32)
+        n_len = np.zeros(B, np.int32)
+        lo = np.zeros(B, np.int32)
+        for b, inst in enumerate(insts):
+            qq, tt = inst["q"], inst["t"]
+            m, n = len(qq), len(tt)
+            m_len[b], n_len[b] = m, n
+            if inst["kind"] == "global":
+                need = abs(n - m) + 1
+                lo[b] = min(0, n - m) - (W - need) // 2
+            else:
+                # extend callers cap n <= m + EXT_MARGIN < W//2, so the
+                # centered band always reaches the last row
+                lo[b] = -(W // 2)
+            q[b, :m] = qq
+            t_win[b] = make_t_window(tt, int(lo[b]), M, W)
+        sc = self.scores
+        res = self.kernel(q, t_win, m_len, n_len, lo,
+                          match=sc.match, mismatch=sc.mismatch,
+                          gapo=sc.gap_open, gape=sc.gap_ext)
+        dirs = np.asarray(res["dirs"])
+        h_last = np.asarray(res["h_last"])
+        best = np.asarray(res["best"])
+        for b, inst in enumerate(insts):
+            m, n, lo_b = int(m_len[b]), int(n_len[b]), int(lo[b])
+            if inst["kind"] == "global":
+                d = n - m - lo_b
+                score = int(h_last[b, d])
+                cig = traceback_banded(dirs[b], lo_b, m, n)
+                self._results[inst["idx"]] = DpResult(score, cig, m, n)
+            else:
+                b_score, b_i, b_d = (int(best[b, 0]), int(best[b, 1]),
+                                     int(best[b, 2]))
+                b_j = b_i + lo_b + b_d
+                # to-end: best cell of the last row
+                valid = np.array(
+                    [0 <= m + lo_b + d <= n for d in range(W)])
+                row = np.where(valid, h_last[b], NEG_INF)
+                te_d = int(np.argmax(row))
+                te_score = int(row[te_d])
+                te_j = m + lo_b + te_d
+                if te_score > NEG_INF and te_score >= b_score - inst["bonus"]:
+                    ei, ej, escore = m, te_j, te_score
+                else:
+                    ei, ej, escore = b_i, b_j, b_score
+                cig = traceback_banded(dirs[b], lo_b, ei, ej)
+                self._results[inst["idx"]] = DpResult(escore, cig, ei, ej)
+
+    def result(self, idx: int) -> DpResult:
+        r = self._results[idx]
+        assert r is not None, "DpBatcher.run() not called or instance lost"
+        return r
+
+
+def compute_nm(q: np.ndarray, t: np.ndarray, cigar) -> int:
+    """Edit distance (NM tag) from a stitched CIGAR: mismatches inside
+    M runs plus inserted/deleted bases."""
+    nm = 0
+    i = j = 0
+    for op, ln in cigar:
+        if op == OP_M:
+            qs = q[i:i + ln]
+            ts = t[j:j + ln]
+            nm += int(np.sum((qs != ts) | (qs >= 4) | (ts >= 4)))
+            i += ln
+            j += ln
+        elif op == OP_I:
+            nm += ln
+            i += ln
+        elif op == OP_D:
+            nm += ln
+            j += ln
+        else:  # soft clips consume query only, no edits
+            i += ln
+    return nm

@@ -1,0 +1,150 @@
+"""End-to-end alignment tests on simulated data (the bundled-test-reads
+equivalent, SURVEY.md section 4)."""
+
+import numpy as np
+import pytest
+
+from lamsa_tpu import sim
+from lamsa_tpu.config import AlignConfig, ScoreParams
+from lamsa_tpu.eval import evaluate
+from lamsa_tpu.index.kmer import KmerIndex
+from lamsa_tpu.io.fasta import encode_seq
+from lamsa_tpu.io.refpack import PackedReference
+from lamsa_tpu.io.sam import (FLAG_REVERSE, FLAG_SUPPLEMENTARY,
+                              FLAG_UNMAPPED, cigar_query_len)
+from lamsa_tpu.pipeline.aln import Aligner
+
+
+PB_SCORES = ScoreParams(match=1, mismatch=3, gap_open=2, gap_ext=1)
+CFG = AlignConfig(scores=PB_SCORES, seed_step=10)
+
+
+def make_ref(rng, length, n_seqs=1):
+    genome = sim.random_genome(rng, length, n_seqs=n_seqs)
+    chunks = [np.frombuffer(encode_seq(g.seq), np.uint8) for g in genome]
+    offsets = np.zeros(len(genome) + 1, np.int64)
+    offsets[1:] = np.cumsum([len(c) for c in chunks])
+    ref = PackedReference(names=[g.name for g in genome], offsets=offsets,
+                          codes=np.concatenate(chunks),
+                          amb_runs=np.zeros((0, 2), np.int64))
+    idx = KmerIndex.build(ref.codes, 13)
+    return genome, ref, idx
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(42)
+    genome, ref, idx = make_ref(rng, 100000)
+    return rng, genome, ref, idx
+
+
+def test_perfect_reads_align_exactly(world):
+    rng, genome, ref, idx = world
+    reads = sim.simulate_reads(rng, genome, 8, read_len=(400, 900),
+                               sub=0, ins=0, dele=0, name_prefix="perf")
+    aligner = Aligner(ref, idx, CFG)
+    out = aligner.align_batch(reads)
+    for read, recs in zip(reads, out):
+        (p,) = sim.parse_truth(read.name)
+        assert len(recs) == 1
+        rec = recs[0]
+        assert not rec.flag & FLAG_UNMAPPED, read.name
+        assert rec.rname == p.ref_name
+        assert rec.pos == p.ref_start, read.name
+        assert bool(rec.flag & FLAG_REVERSE) == (p.strand == "-")
+        # perfect read: single M covering everything, NM 0
+        assert rec.cigar == [(0, len(read.seq))], (read.name, rec.cigar)
+        assert rec.tags["NM"] == 0
+        assert cigar_query_len(rec.cigar) == len(read.seq)
+
+
+def test_noisy_reads_align(world):
+    rng, genome, ref, idx = world
+    reads = sim.simulate_reads(rng, genome, 20, read_len=(500, 3000),
+                               sub=0.01, ins=0.05, dele=0.04,
+                               name_prefix="noisy")
+    aligner = Aligner(ref, idx, CFG)
+    out = aligner.align_batch(reads)
+    st = evaluate(out, reads)
+    assert st.part_recall >= 0.95, st.summary()
+    # CIGARs must consume the whole read
+    for read, recs in zip(reads, out):
+        for rec in recs:
+            if rec.flag & FLAG_UNMAPPED:
+                continue
+            assert cigar_query_len(rec.cigar) == len(read.seq), read.name
+
+
+def test_sv_reads_split_align(world):
+    rng, genome, ref, idx = world
+    reads = sim.simulate_reads(rng, genome, 16, read_len=(1200, 2400),
+                               sub=0.01, ins=0.04, dele=0.03,
+                               sv_fraction=1.0, name_prefix="sv")
+    aligner = Aligner(ref, idx, CFG)
+    out = aligner.align_batch(reads)
+    st = evaluate(out, reads)
+    assert st.part_recall >= 0.8, st.summary()
+    # multi-part reads must emit supplementary records with SA tags
+    n_split = 0
+    for read, recs in zip(reads, out):
+        mapped = [r for r in recs if not r.flag & FLAG_UNMAPPED]
+        if len(mapped) > 1:
+            n_split += 1
+            prim = [r for r in mapped if not r.flag & FLAG_SUPPLEMENTARY]
+            assert len(prim) == 1, read.name
+            for r in mapped:
+                assert "SA" in r.tags, read.name
+                assert r.tags["SA"].count(";") == len(mapped) - 1
+    assert n_split >= len(reads) // 2, f"only {n_split} reads split-aligned"
+
+
+def test_inversion_read_strand_flip(world):
+    rng, genome, ref, idx = world
+    # construct an inversion read deterministically
+    g = genome[0].seq
+    s = 20000
+    third = 500
+    a = g[s:s + third]
+    m = sim._revcomp(g[s + third:s + 2 * third])
+    b = g[s + 2 * third:s + 3 * third]
+    read = sim.FastxRecord(
+        name=f"inv|chr1:{s}-{s+third}:+:0-{third};"
+             f"chr1:{s+third}-{s+2*third}:-:{third}-{2*third};"
+             f"chr1:{s+2*third}-{s+3*third}:+:{2*third}-{3*third}",
+        seq=a + m + b)
+    aligner = Aligner(ref, idx, CFG)
+    out = aligner.align_batch([read])
+    mapped = [r for r in out[0] if not r.flag & FLAG_UNMAPPED]
+    strands = {bool(r.flag & FLAG_REVERSE) for r in mapped}
+    assert strands == {True, False}, [(r.pos, r.flag) for r in mapped]
+    assert any("inversion" in r.tags.get("sv", "") for r in mapped)
+
+
+def test_unmappable_read_reported_unmapped(world):
+    rng, genome, ref, idx = world
+    junk = sim.FastxRecord(name="junk|chrX:0-1:+:0-1",
+                           seq="".join(rng.choice(list("ACGT"))
+                                       for _ in range(300)))
+    aligner = Aligner(ref, idx, CFG)
+    out = aligner.align_batch([junk])
+    # random 300bp cannot reliably chain; expect unmapped or low mapq
+    recs = out[0]
+    if not recs[0].flag & FLAG_UNMAPPED:
+        assert recs[0].mapq <= 20
+
+
+def test_multichrom_and_translocation(rng):
+    genome, ref, idx = make_ref(rng, 120000, n_seqs=2)[0:3]
+    rng2 = np.random.default_rng(7)
+    # translocation read across chromosomes
+    a = genome[0].seq[10000:10800]
+    b = genome[1].seq[30000:30800]
+    read = sim.FastxRecord(
+        name="tl|chr1:10000-10800:+:0-800;chr2:30000-30800:+:800-1600",
+        seq=a + b)
+    aligner = Aligner(ref, idx, CFG)
+    out = aligner.align_batch([read])
+    mapped = [r for r in out[0] if not r.flag & FLAG_UNMAPPED]
+    assert len(mapped) == 2
+    assert {r.rname for r in mapped} == {"chr1", "chr2"}
+    assert any("translocation" in r.tags.get("sv", "") for r in mapped)
