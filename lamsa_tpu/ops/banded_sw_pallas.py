@@ -1,0 +1,260 @@
+"""Banded affine-gap Smith-Waterman — Pallas TPU kernel.
+
+The hot kernel of the whole framework (SURVEY.md section 3.4: the
+reference's ksw SSE2 inner loop, >80% of its CPU time; BASELINE.json
+names "anti-diagonal wavefront vectorization" as the TPU design). The
+math is identical to ops/banded_sw_xla.py (the jit-able spec, tested
+bit-identical to ops/oracle.py): rolling-diagonal band layout, one DP
+row per step, affine E state resolved with an in-row exclusive
+prefix-max (log-doubling shifts over the 128/256 VPU lanes).
+
+Execution shape: grid = (batch tiles, row blocks). Each program holds a
+(G, W) tile of DP state — G instances on sublanes, the whole band on
+lanes — in VMEM scratch that persists across the row-block grid
+dimension (TPU grid execution is sequential), so HBM traffic is just
+the inputs once plus the direction bits out.
+
+Mosaic TPU constraints shape two details:
+  * lane-dim dynamic offsets must be 128-aligned -> per row-block we
+    slice q/t at aligned offsets and per-row dynamic-rotate
+    (``pltpu.roll`` with a traced shift) the needed element/window to
+    lane 0;
+  * sublane-dim dynamic stores must be 8-aligned -> direction bytes are
+    packed 4 rows per int32 word (word w holds rows 4w..4w+3 in its
+    bytes, little-endian) and flushed 8 words (32 rows) at a time.
+    Packed form is also what the native traceback consumes — 1/4 the
+    HBM->host traffic of byte dirs.
+
+Score lanes are int32 for now; int16 packing is a planned optimization
+(BASELINE.json "int8/int16 score lanes").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -(1 << 29)
+
+_ROWS_PER_WORD = 4
+_WORDS_PER_STORE = 8
+_ROWS_PER_GROUP = _ROWS_PER_WORD * _WORDS_PER_STORE   # 32
+
+
+def _shift_right(x, s, fill, lanes):
+    """lane d <- x[d - s] (fill for d < s)."""
+    return jnp.where(lanes < s, fill, pltpu.roll(x, s, axis=1))
+
+
+def _shift_left(x, s, fill, lanes, W):
+    """lane d <- x[d + s] (fill for d >= W - s). pltpu.roll requires a
+    non-negative shift, so left-shift-by-s is roll-by-(W - s)."""
+    return jnp.where(lanes >= W - s, fill, pltpu.roll(x, W - s, axis=1))
+
+
+def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref,
+            dirs_ref, hlast_ref, best_ref,
+            h_scr, f_scr, hlast_scr, best_scr, wa_scr, *,
+            match, mismatch, gapo, gape, G, W, RB, n_row_blocks):
+    rb = pl.program_id(1)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
+    lo = lo_ref[:, 0][:, None]
+    m = mlen_ref[:, 0][:, None]
+    n = nlen_ref[:, 0][:, None]
+
+    @pl.when(rb == 0)
+    def _init():
+        j0 = lo + lanes
+        h0 = jnp.where(j0 == 0, 0,
+                       jnp.where((j0 >= 1) & (j0 <= n),
+                                 -(gapo + j0 * gape), NEG_INF))
+        h_scr[:] = h0
+        f_scr[:] = jnp.full((G, W), NEG_INF, jnp.int32)
+        hlast_scr[:] = jnp.where(m == 0, h0, NEG_INF)
+        bs = jnp.max(h0, axis=1, keepdims=True)
+        bd = jnp.min(jnp.where(h0 == bs, lanes, W), axis=1, keepdims=True)
+        col = jax.lax.broadcasted_iota(jnp.int32, (G, 8), 1)
+        best_scr[:] = jnp.where(col == 0, bs,
+                                jnp.where(col == 2, bd, 0))
+
+    # Lane-dim dynamic slices must be 128-aligned: slice at the block
+    # start, rotate per row.
+    blk0 = pl.multiple_of(rb * RB, 128)
+    q_blk = q_ref[:, pl.ds(blk0, RB)]                       # (G, RB)
+    TK = RB + W
+    t_blk = t_ref[:, pl.ds(blk0, TK)]                       # (G, RB+W)
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (G, _WORDS_PER_STORE, W), 1)
+
+    def row_compute(r):
+        """One DP row; returns the packed direction nibble (G, W)."""
+        i = rb * RB + r + 1
+        h_prev = h_scr[:]
+        f_prev = f_scr[:]
+
+        h_up = _shift_left(h_prev, 1, NEG_INF, lanes, W)
+        f_up = _shift_left(f_prev, 1, NEG_INF, lanes, W)
+        f_ext_bit = f_up >= h_up - gapo
+        f_cur = jnp.maximum(jnp.maximum(h_up - gapo, f_up) - gape, NEG_INF)
+
+        qc = pltpu.roll(q_blk, RB - r, axis=1)[:, 0:1]      # (G,1) = q[i-1]
+        tc = pltpu.roll(t_blk, TK - r, axis=1)[:, :W]       # (G,W) t window
+        s = jnp.where((qc == tc) & (qc < 4) & (tc < 4), match, -mismatch)
+        diag = jnp.maximum(h_prev + s, NEG_INF)
+
+        j = i + lo + lanes
+        valid = (j >= 0) & (j <= n)
+        h_nogap = jnp.where(valid, jnp.maximum(diag, f_cur), NEG_INF)
+
+        v = h_nogap + lanes * gape
+        p = v
+        sft = 1
+        while sft < W:
+            p = jnp.maximum(p, _shift_right(p, sft, NEG_INF, lanes))
+            sft *= 2
+        p_excl = _shift_right(p, 1, NEG_INF, lanes)
+        e_cur = jnp.where(valid & (j >= 1),
+                          jnp.maximum(p_excl - lanes * gape - gapo, NEG_INF),
+                          NEG_INF)
+        e_ext_bit = _shift_right((v <= p_excl).astype(jnp.int32), 1, 0,
+                                 lanes)
+
+        diag_m = jnp.where(valid, diag, NEG_INF)
+        f_m = jnp.where(valid, f_cur, NEG_INF)
+        h = diag_m
+        src = jnp.zeros((G, W), jnp.int32)
+        src = jnp.where(e_cur > h, 1, src)
+        h = jnp.maximum(h, e_cur)
+        src = jnp.where(f_m > h, 2, src)
+        h = jnp.maximum(h, f_m)
+
+        in_rows = i <= m                                    # (G, 1)
+        live = in_rows & valid
+        h = jnp.where(live, h, NEG_INF)
+        f_m = jnp.where(live, f_m, NEG_INF)
+
+        d_byte = src | (e_ext_bit << 2) | (f_ext_bit.astype(jnp.int32) << 3)
+        d_byte = jnp.where(live, d_byte, 0)
+
+        hlast_scr[:] = jnp.where(i == m, h, hlast_scr[:])
+
+        rmax = jnp.max(h, axis=1, keepdims=True)
+        rarg = jnp.min(jnp.where(h == rmax, lanes, W), axis=1,
+                       keepdims=True)
+        best = best_scr[:]
+        improve = rmax > best[:, 0:1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (G, 8), 1)
+        new = jnp.where(col == 0, rmax,
+                        jnp.where(col == 1, i,
+                                  jnp.where(col == 2, rarg, 0)))
+        best_scr[:] = jnp.where(improve, new, best)
+
+        h_scr[:] = h
+        f_scr[:] = f_m
+        return d_byte
+
+    def group_body(g, _):
+        def word_body(w, _):
+            def row4_body(p, word_acc):
+                r = g * _ROWS_PER_GROUP + w * _ROWS_PER_WORD + p
+                d_byte = row_compute(r)
+                return word_acc | (d_byte << (8 * p))
+            word = jax.lax.fori_loop(
+                0, _ROWS_PER_WORD, row4_body,
+                jnp.zeros((G, W), jnp.int32))
+            wa_scr[:] = jnp.where(sub8 == w, word[:, None, :], wa_scr[:])
+            return 0
+        jax.lax.fori_loop(0, _WORDS_PER_STORE, word_body, 0)
+        off = pl.multiple_of(g * _WORDS_PER_STORE, _WORDS_PER_STORE)
+        dirs_ref[:, pl.ds(off, _WORDS_PER_STORE), :] = wa_scr[:]
+        return 0
+
+    jax.lax.fori_loop(0, RB // _ROWS_PER_GROUP, group_body, 0)
+
+    @pl.when(rb == n_row_blocks - 1)
+    def _fin():
+        hlast_ref[:] = hlast_scr[:]
+        best_ref[:] = best_scr[:]
+
+
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gapo",
+                                             "gape", "with_dirs",
+                                             "instance_tile", "interpret"))
+def banded_sw_pallas(q, t_win, m_len, n_len, lo, *, match, mismatch, gapo,
+                     gape, with_dirs=True, instance_tile=8,
+                     interpret=False):
+    """Pallas TPU implementation of ops.banded_sw_xla.banded_sw_batch
+    (same h_last/best contract and the same direction-byte semantics,
+    but direction bytes come back packed 4-rows-per-int32 under key
+    "dirs32" — use unpack_dirs, or index words directly as the native
+    traceback does). Batch B must be a multiple of instance_tile."""
+    B, M = q.shape
+    W = t_win.shape[1] - M
+    G = instance_tile
+    assert B % G == 0, f"batch {B} not a multiple of instance tile {G}"
+    RB = 128          # lane alignment: dynamic rotate needs 128 multiples
+    assert M % RB == 0, f"M={M} must be a multiple of {RB}"
+    n_row_blocks = M // RB
+    grid = (B // G, n_row_blocks)
+
+    kernel = functools.partial(
+        _kernel, match=match, mismatch=mismatch, gapo=gapo, gape=gape,
+        G=G, W=W, RB=RB, n_row_blocks=n_row_blocks)
+
+    scalar_spec = pl.BlockSpec((G, 1), lambda ib, rb: (ib, 0),
+                               memory_space=pltpu.VMEM)
+    dirs32, h_last, best = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((G, M), lambda ib, rb: (ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, M + W), lambda ib, rb: (ib, 0),
+                         memory_space=pltpu.VMEM),
+            scalar_spec, scalar_spec, scalar_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((G, RB // _ROWS_PER_WORD, W),
+                         lambda ib, rb: (ib, rb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, W), lambda ib, rb: (ib, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 8), lambda ib, rb: (ib, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, M // _ROWS_PER_WORD, W), jnp.int32),
+            jax.ShapeDtypeStruct((B, W), jnp.int32),
+            jax.ShapeDtypeStruct((B, 8), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((G, W), jnp.int32),
+            pltpu.VMEM((G, W), jnp.int32),
+            pltpu.VMEM((G, W), jnp.int32),
+            pltpu.VMEM((G, 8), jnp.int32),
+            pltpu.VMEM((G, _WORDS_PER_STORE, W), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=B * M * W * 20, bytes_accessed=B * M * W,
+            transcendentals=0),
+        interpret=interpret,
+    )(q, t_win, m_len.reshape(B, 1), n_len.reshape(B, 1), lo.reshape(B, 1))
+
+    result = {"h_last": h_last, "best": best[:, :3]}
+    if with_dirs:
+        result["dirs32"] = dirs32
+    return result
+
+
+def unpack_dirs(dirs32: np.ndarray) -> np.ndarray:
+    """int32[B, M/4, W] packed words -> uint8[B, M, W] direction bytes.
+    Word layout: byte p (little-endian) holds row 4*w + p."""
+    B, M4, W = dirs32.shape
+    d8 = np.ascontiguousarray(dirs32).view("<u4").astype("<u4")
+    d8 = d8.view(np.uint8).reshape(B, M4, W, 4)
+    return np.ascontiguousarray(
+        d8.transpose(0, 1, 3, 2).reshape(B, M4 * 4, W))

@@ -28,8 +28,7 @@ from lamsa_tpu.ops.traceback import traceback_banded
 
 # (max query length, band width) buckets; instances pick the smallest
 # bucket that fits. W=128 lanes for short gaps, 256 for long ones.
-BUCKETS = ((64, 128), (128, 128), (256, 256), (512, 256), (1024, 256),
-           (2048, 256))
+BUCKETS = ((128, 128), (256, 256), (512, 256), (1024, 256), (2048, 256))
 
 # Extra target bases given to end extensions beyond the query length;
 # must stay below min(W)//2 - 8 so the band reaches the last DP row.
