@@ -43,7 +43,7 @@ def make_batch(rng, B, M, W, n_range=(8, None)):
     return q, t_win, m_len, n_len, lo
 
 
-@pytest.mark.parametrize("M,W", [(64, 128), (128, 128), (256, 256)])
+@pytest.mark.parametrize("M,W", [(128, 128), (256, 256), (512, 256)])
 def test_pallas_interpret_matches_xla(rng, M, W):
     B = 8
     q, t_win, m_len, n_len, lo = make_batch(rng, B, M, W)
@@ -60,7 +60,7 @@ def test_pallas_interpret_matches_xla(rng, M, W):
 
 
 def test_pallas_interpret_empty_and_padded(rng):
-    B, M, W = 8, 64, 128
+    B, M, W = 8, 128, 128
     q, t_win, m_len, n_len, lo = make_batch(rng, B, M, W)
     # instance 3: empty query; instance 5: m_len 1
     m_len[3], n_len[3], lo[3] = 0, 5, 0
