@@ -1,0 +1,120 @@
+"""Backend dispatch for the banded-SW engine.
+
+Two engines share one semantic contract (tested bit-identical):
+  * XLA engine (ops/banded_sw_xla.py) + host traceback
+    (ops/traceback.py) — used on CPU (tests, dev) and as the spec;
+  * Pallas engine (ops/banded_sw_pallas.py) + on-device traceback
+    (ops/traceback_pallas.py) — used on TPU; direction data never
+    leaves the device (host<->device links are the scarce resource:
+    PCIe in production, a ~30 MB/s relay in this dev environment).
+
+`engine()` picks by jax backend; DpBatcher (pipeline/extend.py) calls
+through this module only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lamsa_tpu.ops.oracle import NEG_INF
+
+
+@functools.cache
+def backend_kind() -> str:
+    b = jax.default_backend()
+    return "xla" if b == "cpu" else "pallas"
+
+
+@functools.partial(jax.jit, static_argnames=())
+def extract_scores(h_last, m_len, n_len, lo):
+    """Device-side score extraction: global score H[m][n] per instance,
+    and the best last-row (to-end) cell for extend clip decisions.
+    Returns (global_score [B], te_score [B], te_d [B])."""
+    B, W = h_last.shape
+    d_g = jnp.clip(n_len - m_len - lo, 0, W - 1)
+    g = jnp.take_along_axis(h_last, d_g[:, None], axis=1)[:, 0]
+    lanes = jnp.arange(W)[None, :]
+    j = m_len[:, None] + lo[:, None] + lanes
+    valid = (j >= 0) & (j <= n_len[:, None])
+    row = jnp.where(valid, h_last, NEG_INF)
+    te = jnp.max(row, axis=1)
+    te_d = jnp.argmax(row, axis=1).astype(jnp.int32)
+    return g, te, te_d
+
+
+def run_group_xla(q, t_win, m_len, n_len, lo, scores):
+    """XLA engine + host traceback. Returns a 'group result' object the
+    batcher post-processes: dict with numpy arrays + a cigar() closure."""
+    from lamsa_tpu.ops.banded_sw_xla import banded_sw_batch
+    from lamsa_tpu.ops.traceback import traceback_banded
+
+    res = banded_sw_batch(q, t_win, m_len, n_len, lo,
+                          match=scores.match, mismatch=scores.mismatch,
+                          gapo=scores.gap_open, gape=scores.gap_ext)
+    g, te, te_d = extract_scores(res["h_last"], m_len, n_len, lo)
+    dirs = np.asarray(res["dirs"])
+    out = {
+        "global_score": np.asarray(g),
+        "te_score": np.asarray(te),
+        "te_d": np.asarray(te_d),
+        "best": np.asarray(res["best"]),
+    }
+
+    def cigar(b: int, i: int, j: int):
+        return traceback_banded(dirs[b], int(lo[b]), i, j)
+
+    return out, cigar
+
+
+def run_group_pallas(q, t_win, m_len, n_len, lo, scores):
+    """Pallas engine + on-device traceback, two phases: the batcher
+    first reads scores, decides start cells, then calls the returned
+    `traceback(start_i, start_d)` ONCE for the whole group; after that
+    `cigar(b, ...)` decodes per instance."""
+    from lamsa_tpu.ops.banded_sw_pallas import banded_sw_pallas
+    from lamsa_tpu.ops.traceback import decode_steps
+    from lamsa_tpu.ops.traceback_pallas import traceback_pallas
+
+    B = q.shape[0]
+    G = 8
+    Bp = ((B + G - 1) // G) * G
+    if Bp != B:
+        padw = [(0, Bp - B)]
+        q = np.pad(q, padw + [(0, 0)])
+        t_win = np.pad(t_win, padw + [(0, 0)])
+        m_len = np.pad(m_len, padw)
+        n_len = np.pad(n_len, padw)
+        lo = np.pad(lo, padw)
+
+    res = banded_sw_pallas(q, t_win, m_len, n_len, lo,
+                           match=scores.match, mismatch=scores.mismatch,
+                           gapo=scores.gap_open, gape=scores.gap_ext)
+    g, te, te_d = extract_scores(res["h_last"], m_len, n_len, lo)
+    out = {
+        "global_score": np.asarray(g)[:B],
+        "te_score": np.asarray(te)[:B],
+        "te_d": np.asarray(te_d)[:B],
+        "best": np.asarray(res["best"])[:B],
+    }
+
+    state = {}
+
+    def traceback(start_i: np.ndarray, start_d: np.ndarray):
+        si = np.pad(start_i.astype(np.int32), (0, Bp - B))
+        sd = np.pad(start_d.astype(np.int32), (0, Bp - B))
+        steps, term = traceback_pallas(res["dirs32"], m_len, n_len, lo,
+                                       si, sd)
+        state["steps"] = np.asarray(steps)
+        state["term"] = np.asarray(term)
+        state["start_i"] = si
+
+    def cigar(b: int, i: int, j: int):
+        # i must equal the start_i passed to traceback() for instance b
+        assert i == int(state["start_i"][b]), "start mismatch"
+        return decode_steps(state["steps"][b], state["term"][b], i)
+
+    return out, traceback, cigar

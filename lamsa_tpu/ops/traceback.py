@@ -64,3 +64,35 @@ def traceback_banded(dirs: np.ndarray, lo: int, i: int, j: int):
     if i > 0:
         push(OP_I, i)
     return [(op, ln) for op, ln in reversed(ops)]
+
+
+def decode_steps(steps_row: np.ndarray, term_row: np.ndarray,
+                 start_i: int):
+    """Decode one instance's on-device traceback output
+    (ops/traceback_pallas.py) into a forward CIGAR.
+
+    steps_row[r-1] for DP row r holds (d_count | op << 16); term_row[0]
+    is the terminal j at row 0 (leading D run). Must produce the exact
+    CIGAR traceback_banded() produces from the same direction data.
+    """
+    ops: list[list[int]] = []
+
+    def push(op, ln):
+        if ln <= 0:
+            return
+        if ops and ops[-1][0] == op:
+            ops[-1][1] += ln
+        else:
+            ops.append([op, ln])
+
+    for r in range(int(start_i), 0, -1):
+        word = int(steps_row[r - 1])
+        step_op = word >> 16
+        count = word & 0xFFFF
+        push(OP_D, count)
+        if step_op == 0:
+            push(OP_M, 1)
+        elif step_op == 1:
+            push(OP_I, 1)
+    push(OP_D, int(term_row[0]))
+    return [(op, ln) for op, ln in reversed(ops)]

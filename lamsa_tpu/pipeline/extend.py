@@ -45,9 +45,11 @@ class DpResult:
 
 class DpBatcher:
     """Collect global/extend DP instances, run them bucketed, hand back
-    per-instance results by handle."""
+    per-instance results by handle. Engine (XLA+host-traceback on CPU,
+    Pallas+device-traceback on TPU) is picked by ops/banded_sw.py;
+    pass `kernel` only to force a specific XLA-contract kernel (tests)."""
 
-    def __init__(self, scores, kernel=banded_sw_batch):
+    def __init__(self, scores, kernel=None):
         self.scores = scores
         self.kernel = kernel
         self._inst: list[dict] = []
@@ -116,6 +118,8 @@ class DpBatcher:
             self._run_group(insts, M, W)
 
     def _run_group(self, insts, M, W):
+        from lamsa_tpu.ops.banded_sw import (backend_kind, run_group_pallas,
+                                             run_group_xla)
         B = len(insts)
         q = np.zeros((B, M), np.int32)
         t_win = np.zeros((B, M + W), np.int32)
@@ -135,37 +139,68 @@ class DpBatcher:
                 lo[b] = -(W // 2)
             q[b, :m] = qq
             t_win[b] = make_t_window(tt, int(lo[b]), M, W)
+
+        if self.kernel is not None:          # explicit kernel (tests)
+            engine = "explicit"
+        else:
+            engine = backend_kind()
+
+        if engine == "pallas":
+            out, traceback, cigar = run_group_pallas(
+                q, t_win, m_len, n_len, lo, self.scores)
+        elif engine == "xla":
+            out, cigar = run_group_xla(q, t_win, m_len, n_len, lo,
+                                       self.scores)
+        else:
+            out, cigar = self._run_explicit(q, t_win, m_len, n_len, lo)
+
+        # decide start cells + scores per instance
+        start_i = np.zeros(B, np.int32)
+        start_j = np.zeros(B, np.int64)
+        escore = np.zeros(B, np.int64)
+        best = out["best"]
+        for b, inst in enumerate(insts):
+            m, n, lo_b = int(m_len[b]), int(n_len[b]), int(lo[b])
+            if inst["kind"] == "global":
+                start_i[b], start_j[b] = m, n
+                escore[b] = int(out["global_score"][b])
+            else:
+                b_score, b_i, b_d = (int(best[b, 0]), int(best[b, 1]),
+                                     int(best[b, 2]))
+                te_score = int(out["te_score"][b])
+                te_j = m + lo_b + int(out["te_d"][b])
+                if te_score > NEG_INF and te_score >= b_score - inst["bonus"]:
+                    start_i[b], start_j[b], escore[b] = m, te_j, te_score
+                else:
+                    start_i[b] = b_i
+                    start_j[b] = b_i + lo_b + b_d
+                    escore[b] = b_score
+
+        if engine == "pallas":
+            traceback(start_i, (start_j - start_i - lo).astype(np.int32))
+
+        for b, inst in enumerate(insts):
+            i, j = int(start_i[b]), int(start_j[b])
+            cig = cigar(b, i, j)
+            self._results[inst["idx"]] = DpResult(int(escore[b]), cig, i, j)
+
+    def _run_explicit(self, q, t_win, m_len, n_len, lo):
+        """Test hook: run a caller-provided kernel with the XLA-style
+        contract (uint8 dirs) and host traceback."""
         sc = self.scores
         res = self.kernel(q, t_win, m_len, n_len, lo,
                           match=sc.match, mismatch=sc.mismatch,
                           gapo=sc.gap_open, gape=sc.gap_ext)
+        from lamsa_tpu.ops.banded_sw import extract_scores
+        g, te, te_d = extract_scores(res["h_last"], m_len, n_len, lo)
         dirs = np.asarray(res["dirs"])
-        h_last = np.asarray(res["h_last"])
-        best = np.asarray(res["best"])
-        for b, inst in enumerate(insts):
-            m, n, lo_b = int(m_len[b]), int(n_len[b]), int(lo[b])
-            if inst["kind"] == "global":
-                d = n - m - lo_b
-                score = int(h_last[b, d])
-                cig = traceback_banded(dirs[b], lo_b, m, n)
-                self._results[inst["idx"]] = DpResult(score, cig, m, n)
-            else:
-                b_score, b_i, b_d = (int(best[b, 0]), int(best[b, 1]),
-                                     int(best[b, 2]))
-                b_j = b_i + lo_b + b_d
-                # to-end: best cell of the last row
-                valid = np.array(
-                    [0 <= m + lo_b + d <= n for d in range(W)])
-                row = np.where(valid, h_last[b], NEG_INF)
-                te_d = int(np.argmax(row))
-                te_score = int(row[te_d])
-                te_j = m + lo_b + te_d
-                if te_score > NEG_INF and te_score >= b_score - inst["bonus"]:
-                    ei, ej, escore = m, te_j, te_score
-                else:
-                    ei, ej, escore = b_i, b_j, b_score
-                cig = traceback_banded(dirs[b], lo_b, ei, ej)
-                self._results[inst["idx"]] = DpResult(escore, cig, ei, ej)
+        out = {"global_score": np.asarray(g), "te_score": np.asarray(te),
+               "te_d": np.asarray(te_d), "best": np.asarray(res["best"])}
+
+        def cigar(b, i, j):
+            return traceback_banded(dirs[b], int(lo[b]), i, j)
+
+        return out, cigar
 
     def result(self, idx: int) -> DpResult:
         r = self._results[idx]
