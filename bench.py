@@ -1,0 +1,238 @@
+"""Benchmark entry point (driver-run on real TPU hardware).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Primary metric: end-to-end reads/s/chip on a config-1-style workload
+(E. coli-scale genome + simulated 1-5 kb PacBio CLR reads,
+BASELINE.json:7). The reference LAMSA binary is not present in this
+environment (empty mount, SURVEY.md section 0), so vs_baseline is
+measured against this framework's own CPU engine (XLA kernels + host
+traceback) on the same workload — the honest stand-in for a CPU
+aligner baseline. Extras report the banded-DP kernel's device
+Gcells/s and the TPU-vs-CPU SAM agreement rate (both engines share
+bit-identical kernel semantics, so this should be 1.0).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+GENOME_LEN = 4_600_000          # E. coli scale
+N_READS = 512
+READ_LEN = (1000, 5000)
+SEED = 20260817
+
+_CPU_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".bench_cpu_baseline.json")
+
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def build_world():
+    from lamsa_tpu import sim
+    from lamsa_tpu.config import AlignConfig, ScoreParams
+    from lamsa_tpu.index.kmer import KmerIndex
+    from lamsa_tpu.io.fasta import encode_seq
+    from lamsa_tpu.io.refpack import PackedReference
+
+    rng = np.random.default_rng(SEED)
+    genome = sim.random_genome(rng, GENOME_LEN)
+    codes = np.frombuffer(encode_seq(genome[0].seq), np.uint8)
+    offsets = np.zeros(2, np.int64)
+    offsets[1] = len(codes)
+    ref = PackedReference(names=[genome[0].name], offsets=offsets,
+                          codes=codes, amb_runs=np.zeros((0, 2), np.int64))
+    idx = KmerIndex.build(codes, 13)
+    cfg = AlignConfig(scores=ScoreParams(match=1, mismatch=3, gap_open=2,
+                                         gap_ext=1), seed_step=10)
+    reads = sim.simulate_reads(rng, genome, N_READS, read_len=READ_LEN,
+                               sub=0.01, ins=0.05, dele=0.04,
+                               sv_fraction=0.15)
+    return genome, ref, idx, cfg, reads
+
+
+def bench_e2e(ref, idx, cfg, reads, batch=256):
+    from lamsa_tpu.eval import evaluate
+    from lamsa_tpu.pipeline.aln import Aligner
+
+    aligner = Aligner(ref, idx, cfg)
+    warm = reads[:batch]
+    t0 = time.time()
+    aligner.align_batch(warm)
+    log(f"warmup batch ({len(warm)} reads) incl. compiles: "
+        f"{time.time() - t0:.1f}s")
+
+    out = []
+    t0 = time.time()
+    for i in range(0, len(reads), batch):
+        out.extend(aligner.align_batch(reads[i:i + batch]))
+    dt = time.time() - t0
+    st = evaluate(out, reads)
+    log(f"e2e: {len(reads)} reads in {dt:.1f}s = {len(reads)/dt:.2f} "
+        f"reads/s; {st.summary()}")
+    return len(reads) / dt, st, out
+
+
+def bench_kernel():
+    """Device-side banded-DP Gcells/s at the 10 kb-read working point
+    (M=512-row gap bucket, W=256 band)."""
+    import jax
+
+    from lamsa_tpu.config import ScoreParams
+    from lamsa_tpu.ops.banded_sw import backend_kind
+
+    if backend_kind() != "pallas":
+        return 0.0
+    from lamsa_tpu.ops.banded_sw_pallas import banded_sw_pallas
+
+    S = ScoreParams()
+    kw = dict(match=S.match, mismatch=S.mismatch, gapo=S.gap_open,
+              gape=S.gap_ext)
+    rng = np.random.default_rng(0)
+    B, M, W = 512, 512, 256
+    args = [jax.device_put(x) for x in (
+        rng.integers(0, 4, (B, M)).astype(np.int32),
+        rng.integers(0, 4, (B, M + W)).astype(np.int32),
+        np.full(B, M, np.int32), np.full(B, M, np.int32),
+        np.full(B, -(W // 2), np.int32))]
+
+    def run_n(n):
+        t0 = time.time()
+        last = None
+        for _ in range(n):
+            last = banded_sw_pallas(*args, **kw)["h_last"][0, :8]
+        _ = np.asarray(last)
+        return time.time() - t0
+
+    run_n(1)                       # compile
+    t1, t10 = run_n(1), run_n(10)
+    dev = max((t10 - t1) / 9, 1e-9)
+    g = B * M * W / dev / 1e9
+    log(f"banded-DP kernel: {dev*1e3:.1f} ms/call -> {g:.2f} Gcells/s "
+        f"(device time)")
+    return g
+
+
+def cpu_baseline(n_reads=128):
+    """Same pipeline on the CPU engine, in a subprocess (this VM's
+    sitecustomize pins the TPU backend; only jax.config can override)."""
+    if os.path.exists(_CPU_CACHE):
+        with open(_CPU_CACHE) as fh:
+            c = json.load(fh)
+        if c.get("seed") == SEED and c.get("n_reads") == n_reads:
+            log(f"cpu baseline (cached): {c['reads_per_s']:.2f} reads/s")
+            return c["reads_per_s"]
+    code = f"""
+import sys, time, json
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+import jax; jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import bench
+genome, ref, idx, cfg, reads = bench.build_world()
+reads = reads[:{n_reads}]
+from lamsa_tpu.pipeline.aln import Aligner
+a = Aligner(ref, idx, cfg)
+a.align_batch(reads[:32])          # compile warmup
+t0 = time.time()
+a.align_batch(reads)
+dt = time.time() - t0
+print(json.dumps({{"reads_per_s": len(reads)/dt}}))
+"""
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=1800,
+                           capture_output=True, text=True)
+        val = json.loads(r.stdout.strip().splitlines()[-1])["reads_per_s"]
+        with open(_CPU_CACHE, "w") as fh:
+            json.dump({"seed": SEED, "n_reads": n_reads,
+                       "reads_per_s": val}, fh)
+        log(f"cpu baseline: {val:.2f} reads/s")
+        return val
+    except Exception as e:  # noqa: BLE001
+        log(f"cpu baseline failed ({e}); using vs_baseline=0")
+        return 0.0
+
+
+def sam_agreement(ref, idx, cfg, reads, tpu_out, n=64):
+    """Record-level agreement between the TPU and CPU engines."""
+    from lamsa_tpu.io.sam import format_sam_record
+    sub = reads[:n]
+    code_in = [format_sam_record(r) for recs in tpu_out[:n] for r in recs]
+    import pickle
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as fh:
+        pickle.dump([(r.name, r.seq, r.qual) for r in sub], fh)
+        path = fh.name
+    code = f"""
+import sys, pickle
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+import jax; jax.config.update("jax_platforms", "cpu")
+import bench
+from lamsa_tpu.io.fasta import FastxRecord
+from lamsa_tpu.io.sam import format_sam_record
+from lamsa_tpu.pipeline.aln import Aligner
+genome, ref, idx, cfg, reads = bench.build_world()
+with open({path!r}, "rb") as fh:
+    rs = [FastxRecord(*t) for t in pickle.load(fh)]
+a = Aligner(ref, idx, cfg)
+out = a.align_batch(rs)
+for recs in out:
+    for r in recs:
+        print(format_sam_record(r))
+"""
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=1800,
+                           capture_output=True, text=True)
+        cpu_lines = [ln for ln in r.stdout.splitlines() if ln and
+                     not ln.startswith("[")]
+        same = sum(a == b for a, b in zip(code_in, cpu_lines))
+        rate = same / max(len(code_in), len(cpu_lines), 1)
+        log(f"SAM agreement TPU vs CPU engine: {same}/{len(code_in)} "
+            f"records = {rate:.3f}")
+        return rate
+    except Exception as e:  # noqa: BLE001
+        log(f"sam agreement failed ({e})")
+        return 0.0
+    finally:
+        os.unlink(path)
+
+
+def main():
+    import jax
+    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    genome, ref, idx, cfg, reads = build_world()
+    log(f"world: {GENOME_LEN/1e6:.1f} Mb genome, {len(idx.keys)} kmers, "
+        f"{N_READS} reads {READ_LEN}")
+
+    gcells = bench_kernel()
+    reads_per_s, st, tpu_out = bench_e2e(ref, idx, cfg, reads)
+    agreement = sam_agreement(ref, idx, cfg, reads, tpu_out)
+    cpu_rps = cpu_baseline()
+
+    result = {
+        "metric": "e2e_reads_per_s_per_chip",
+        "value": round(reads_per_s, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / cpu_rps, 2) if cpu_rps else 0.0,
+        "banded_dp_gcells_per_s": round(gcells, 2),
+        "part_recall": round(st.part_recall, 4),
+        "read_accuracy": round(st.read_accuracy, 4),
+        "sam_agreement_tpu_vs_cpu_engine": round(agreement, 4),
+        "cpu_engine_reads_per_s": round(cpu_rps, 2),
+        "baseline_note": "reference LAMSA binary unavailable (empty "
+                         "mount); baseline = this framework's CPU engine "
+                         "on the same workload",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

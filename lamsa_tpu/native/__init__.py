@@ -1,0 +1,160 @@
+"""ctypes loader for the native host library, with Python fallbacks.
+
+Every entry point degrades gracefully: if g++ or the .so is missing,
+callers get the pure-Python implementations (same semantics, slower).
+Check `available()` to know which path is live.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_lib = None
+_tried = False
+
+MAXC_DEFAULT = 4096
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("LAMSA_TPU_NO_NATIVE"):
+        return None
+    from lamsa_tpu.native.build import build
+    so = build()
+    if so is None:
+        return None
+    lib = ctypes.CDLL(so)
+    i8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    c = ctypes.c_int32
+    lib.lamsa_encode_nt4.argtypes = [i8p, ctypes.c_int64, i8p]
+    lib.lamsa_revcomp4.argtypes = [i8p, ctypes.c_int64, i8p]
+    lib.lamsa_decode_steps.argtypes = [i32p, i32p, i32p, c, c, c, u32p, c,
+                                       i32p]
+    lib.lamsa_decode_steps.restype = c
+    lib.lamsa_traceback_banded.argtypes = [i8p, c, c, c, c, c, u32p, c,
+                                           i32p]
+    lib.lamsa_traceback_banded.restype = c
+    lib.lamsa_banded_sw_cpu.argtypes = [i8p, c, i8p, c, c, c, c, c, c, c,
+                                        i32p, u32p, c, i32p]
+    lib.lamsa_banded_sw_cpu.restype = c
+    lib.lamsa_nm_from_cigar.argtypes = [i8p, i8p, u32p, c]
+    lib.lamsa_nm_from_cigar.restype = ctypes.c_int64
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _runs_to_cigar(ops: np.ndarray, n: int):
+    return [(int(o & 0xF), int(o >> 4)) for o in ops[:n]]
+
+
+def cigar_to_runs(cigar) -> np.ndarray:
+    return np.asarray([(ln << 4) | op for op, ln in cigar], np.uint32)
+
+
+def encode_nt4(seq: bytes) -> np.ndarray:
+    lib = _load()
+    src = np.frombuffer(seq, np.uint8)
+    if lib is None:
+        from lamsa_tpu.io.fasta import encode_seq
+        return np.frombuffer(encode_seq(seq), np.uint8)
+    out = np.empty(len(src), np.uint8)
+    lib.lamsa_encode_nt4(np.ascontiguousarray(src), len(src), out)
+    return out
+
+
+def revcomp4(codes: np.ndarray) -> np.ndarray:
+    lib = _load()
+    codes = np.ascontiguousarray(codes, np.uint8)
+    if lib is None:
+        comp = np.array([3, 2, 1, 0, 4], np.uint8)
+        return comp[codes[::-1]]
+    out = np.empty(len(codes), np.uint8)
+    lib.lamsa_revcomp4(codes, len(codes), out)
+    return out
+
+
+def decode_steps_batch(steps: np.ndarray, term: np.ndarray,
+                       start_i: np.ndarray, maxc: int = MAXC_DEFAULT):
+    """Batch device-traceback decode. Returns list of CIGARs."""
+    lib = _load()
+    B, M = steps.shape
+    if lib is None:
+        from lamsa_tpu.ops.traceback import decode_steps
+        return [decode_steps(steps[b], term[b], int(start_i[b]))
+                for b in range(B)]
+    steps = np.ascontiguousarray(steps, np.int32)
+    term = np.ascontiguousarray(term, np.int32)
+    si = np.ascontiguousarray(start_i, np.int32)
+    out_ops = np.empty((B, maxc), np.uint32)
+    out_n = np.empty(B, np.int32)
+    lib.lamsa_decode_steps(steps, term, si, B, M, term.shape[1],
+                           out_ops.reshape(-1), maxc, out_n)
+    res = []
+    for b in range(B):
+        if out_n[b] < 0:  # overflow: fall back
+            from lamsa_tpu.ops.traceback import decode_steps
+            res.append(decode_steps(steps[b], term[b], int(si[b])))
+        else:
+            res.append(_runs_to_cigar(out_ops[b], int(out_n[b])))
+    return res
+
+
+def traceback_banded(dirs: np.ndarray, lo: int, i: int, j: int,
+                     maxc: int = MAXC_DEFAULT):
+    lib = _load()
+    if lib is None:
+        from lamsa_tpu.ops.traceback import traceback_banded as py
+        return py(dirs, lo, i, j)
+    M, W = dirs.shape
+    out_ops = np.empty(maxc, np.uint32)
+    out_n = np.empty(1, np.int32)
+    rc = lib.lamsa_traceback_banded(np.ascontiguousarray(dirs, np.uint8),
+                                    M, W, lo, i, j, out_ops, maxc, out_n)
+    if rc != 0:
+        from lamsa_tpu.ops.traceback import traceback_banded as py
+        return py(dirs, lo, i, j)
+    return _runs_to_cigar(out_ops, int(out_n[0]))
+
+
+def banded_sw_cpu(q: np.ndarray, t: np.ndarray, scores, lo: int, hi: int,
+                  maxc: int = MAXC_DEFAULT):
+    """Scalar C++ banded global SW (ksw equivalent). Returns
+    (score, cigar) or None if native is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q, np.uint8)
+    t = np.ascontiguousarray(t, np.uint8)
+    score = np.empty(1, np.int32)
+    out_ops = np.empty(maxc, np.uint32)
+    out_n = np.empty(1, np.int32)
+    rc = lib.lamsa_banded_sw_cpu(q, len(q), t, len(t), scores.match,
+                                 scores.mismatch, scores.gap_open,
+                                 scores.gap_ext, lo, hi, score, out_ops,
+                                 maxc, out_n)
+    if rc != 0:
+        raise ValueError(f"banded_sw_cpu failed rc={rc}")
+    return int(score[0]), _runs_to_cigar(out_ops, int(out_n[0]))
+
+
+def nm_from_cigar(q: np.ndarray, t: np.ndarray, cigar) -> int:
+    lib = _load()
+    if lib is None:
+        from lamsa_tpu.pipeline.extend import compute_nm
+        return compute_nm(q, t, cigar)
+    runs = cigar_to_runs(cigar)
+    return int(lib.lamsa_nm_from_cigar(
+        np.ascontiguousarray(q, np.uint8),
+        np.ascontiguousarray(t, np.uint8), runs, len(runs)))

@@ -1,0 +1,228 @@
+// lamsa_tpu native host components.
+//
+// TPU-native counterparts of the reference's C core (SURVEY.md §2b):
+//   * lamsa_banded_sw_cpu  — scalar banded affine-gap SW with traceback
+//       (the ksw.c-equivalent; serves as the measurable CPU baseline and
+//       a fast exact oracle for differential tests)
+//   * lamsa_decode_steps   — batch decoder of the on-device traceback
+//       kernel's per-row step words -> CIGAR runs (hot host loop)
+//   * lamsa_traceback_banded — CIGAR walk over banded direction bytes
+//       (CPU-engine path)
+//   * lamsa_encode_nt4 / lamsa_revcomp4 — byte-level sequence encoding
+//   * lamsa_nm_from_cigar  — NM (edit distance) accumulation
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this image). CIGAR runs
+// are packed uint32: (len << 4) | op, ops per io/sam.py CIGAR_OPS.
+//
+// Build: lamsa_tpu/native/build.py (g++ -O3 -shared -fPIC).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+static const int OP_M = 0, OP_I = 1, OP_D = 2;
+
+// ---------------------------------------------------------------- encoding
+
+void lamsa_encode_nt4(const uint8_t* seq, int64_t n, uint8_t* out) {
+    static uint8_t table[256];
+    static bool init = false;
+    if (!init) {
+        memset(table, 4, sizeof(table));
+        table['A'] = 0; table['C'] = 1; table['G'] = 2; table['T'] = 3;
+        table['a'] = 0; table['c'] = 1; table['g'] = 2; table['t'] = 3;
+        init = true;
+    }
+    for (int64_t i = 0; i < n; i++) out[i] = table[seq[i]];
+}
+
+void lamsa_revcomp4(const uint8_t* codes, int64_t n, uint8_t* out) {
+    static const uint8_t comp[5] = {3, 2, 1, 0, 4};
+    for (int64_t i = 0; i < n; i++) out[i] = comp[codes[n - 1 - i]];
+}
+
+// ------------------------------------------------------------ cigar helpers
+
+struct RunBuf {
+    uint32_t* out;
+    int32_t maxc;
+    int32_t count;
+    bool overflow;
+    void push(int op, int64_t len) {
+        if (len <= 0) return;
+        if (count > 0 && (int)(out[count - 1] & 0xF) == op) {
+            out[count - 1] += (uint32_t)(len << 4);
+            return;
+        }
+        if (count >= maxc) { overflow = true; return; }
+        out[count++] = (uint32_t)((len << 4) | op);
+    }
+};
+
+// reverse run order in place (used to flip backward-emitted walks)
+static void reverse_runs(uint32_t* ops, int32_t n) {
+    for (int32_t a = 0, b = n - 1; a < b; a++, b--) {
+        uint32_t t = ops[a]; ops[a] = ops[b]; ops[b] = t;
+    }
+}
+
+// ---------------------------------------------------- device-steps decoding
+
+// steps[b*M + (r-1)] for DP row r: (d_count) | (op << 16); op 0=M 1=I
+// 2=inactive. term[b*term_stride + 0] = terminal leading-D count.
+// Emits forward CIGARs. Returns 0, or -1 if any instance overflowed.
+int lamsa_decode_steps(const int32_t* steps, const int32_t* term,
+                       const int32_t* start_i, int32_t B, int32_t M,
+                       int32_t term_stride, uint32_t* out_ops,
+                       int32_t out_stride, int32_t* out_n) {
+    int rc = 0;
+    for (int32_t b = 0; b < B; b++) {
+        RunBuf rb{out_ops + (int64_t)b * out_stride, out_stride, 0, false};
+        const int32_t* srow = steps + (int64_t)b * M;
+        // backward emission
+        for (int32_t r = start_i[b]; r >= 1; r--) {
+            int32_t w = srow[r - 1];
+            int32_t op = w >> 16;
+            int32_t cnt = w & 0xFFFF;
+            rb.push(OP_D, cnt);
+            if (op == 0) rb.push(OP_M, 1);
+            else if (op == 1) rb.push(OP_I, 1);
+        }
+        rb.push(OP_D, term[(int64_t)b * term_stride]);
+        reverse_runs(rb.out, rb.count);
+        out_n[b] = rb.overflow ? -1 : rb.count;
+        if (rb.overflow) rc = -1;
+    }
+    return rc;
+}
+
+// ------------------------------------------------- banded dirs traceback
+
+// dirs: uint8[M, W], row r at index r-1; lane d of row i = cell
+// (i, i + lo + d). Bit layout per ops/oracle.py.
+int lamsa_traceback_banded(const uint8_t* dirs, int32_t M, int32_t W,
+                           int32_t lo, int32_t i, int32_t j,
+                           uint32_t* out_ops, int32_t maxc,
+                           int32_t* out_n) {
+    RunBuf rb{out_ops, maxc, 0, false};
+    int state = 0;  // 0=H 1=E 2=F
+    while (i > 0 && j > 0) {
+        int d = dirs[(int64_t)(i - 1) * W + (j - i - lo)];
+        if (state == 0) {
+            int src = d & 3;
+            if (src == 0) { rb.push(OP_M, 1); i--; j--; }
+            else if (src == 1) state = 1;
+            else state = 2;
+        } else if (state == 1) {
+            rb.push(OP_D, 1);
+            if (!(d & 4)) state = 0;
+            j--;
+        } else {
+            rb.push(OP_I, 1);
+            if (!(d & 8)) state = 0;
+            i--;
+        }
+    }
+    if (j > 0) rb.push(OP_D, j);
+    if (i > 0) rb.push(OP_I, i);
+    reverse_runs(rb.out, rb.count);
+    *out_n = rb.overflow ? -1 : rb.count;
+    return rb.overflow ? -1 : 0;
+}
+
+// -------------------------------------------------------- scalar banded SW
+
+// The ksw-equivalent CPU kernel: banded affine-gap global alignment with
+// state-aware traceback; identical scoring/tie-break contract as
+// ops/oracle.py. Returns score via *score_out, CIGAR via out_ops.
+// band: lo <= j - i <= hi. Requires lo <= 0 <= hi and lo <= n-m <= hi.
+int lamsa_banded_sw_cpu(const uint8_t* q, int32_t m, const uint8_t* t,
+                        int32_t n, int32_t match, int32_t mis,
+                        int32_t gapo, int32_t gape, int32_t lo, int32_t hi,
+                        int32_t* score_out, uint32_t* out_ops,
+                        int32_t maxc, int32_t* out_n) {
+    const int32_t NEG = -(1 << 29);
+    if (!(lo <= 0 && hi >= 0 && lo <= n - m && n - m <= hi)) return -2;
+    int32_t W = hi - lo + 1;
+    std::vector<int32_t> H((int64_t)(m + 1) * W, NEG), E(H), F(H);
+    std::vector<uint8_t> dir((int64_t)(m + 1) * W, 0);
+    auto idx = [&](int32_t i, int32_t j) -> int64_t {
+        return (int64_t)i * W + (j - i - lo);
+    };
+    auto inb = [&](int32_t i, int32_t j) {
+        return j >= 0 && j <= n && j - i >= lo && j - i <= hi;
+    };
+    H[idx(0, 0)] = 0;
+    for (int32_t j = 1; j <= n && j <= hi; j++) {
+        E[idx(0, j)] = -(gapo + j * gape);
+        H[idx(0, j)] = E[idx(0, j)];
+        dir[idx(0, j)] = 1 | (j > 1 ? 4 : 0);
+    }
+    for (int32_t i = 1; i <= m && -i >= lo; i++) {
+        F[idx(i, 0)] = -(gapo + i * gape);
+        H[idx(i, 0)] = F[idx(i, 0)];
+        dir[idx(i, 0)] = 2 | (i > 1 ? 8 : 0);
+    }
+    for (int32_t i = 1; i <= m; i++) {
+        int32_t jlo = i + lo > 1 ? i + lo : 1;
+        int32_t jhi = i + hi < n ? i + hi : n;
+        for (int32_t j = jlo; j <= jhi; j++) {
+            uint8_t d = 0;
+            int32_t e_open = inb(i, j - 1) ? H[idx(i, j - 1)] - gapo - gape
+                                            : NEG;
+            int32_t e_ext = inb(i, j - 1) ? E[idx(i, j - 1)] - gape : NEG;
+            int32_t e;
+            // no NEG clamp on E/F: tie-breaking must match
+            // ops/oracle.py, which clamps H only
+            if (e_ext >= e_open) { e = e_ext; d |= 4; } else e = e_open;
+            E[idx(i, j)] = e;
+            int32_t f_open = inb(i - 1, j) ? H[idx(i - 1, j)] - gapo - gape
+                                            : NEG;
+            int32_t f_ext = inb(i - 1, j) ? F[idx(i - 1, j)] - gape : NEG;
+            int32_t f;
+            if (f_ext >= f_open) { f = f_ext; d |= 8; } else f = f_open;
+            F[idx(i, j)] = f;
+            int32_t s = (q[i - 1] < 4 && t[j - 1] < 4 && q[i - 1] == t[j - 1])
+                            ? match : -mis;
+            int32_t dg = inb(i - 1, j - 1) ? H[idx(i - 1, j - 1)] + s : NEG;
+            int32_t best = dg;
+            uint8_t src = 0;
+            if (e > best) { best = e; src = 1; }
+            if (f > best) { best = f; src = 2; }
+            if (best < NEG) best = NEG;
+            H[idx(i, j)] = best;
+            dir[idx(i, j)] = d | src;
+        }
+    }
+    *score_out = H[idx(m, n)];
+    // dir stores row i at index i (row 0 = init row); the walker expects
+    // row i at index i-1, and lane d of row i here is (j - i - lo) which
+    // matches the walker's convention — skip the init row.
+    return lamsa_traceback_banded(dir.data() + W, m, W, lo, m, n, out_ops,
+                                  maxc, out_n);
+}
+
+// ---------------------------------------------------------------- NM calc
+
+// nm over the core cigar (no clips) given aligned q/t code windows.
+int64_t lamsa_nm_from_cigar(const uint8_t* q, const uint8_t* t,
+                            const uint32_t* ops, int32_t n_ops) {
+    int64_t nm = 0, i = 0, j = 0;
+    for (int32_t k = 0; k < n_ops; k++) {
+        int op = ops[k] & 0xF;
+        int64_t ln = ops[k] >> 4;
+        if (op == OP_M) {
+            for (int64_t x = 0; x < ln; x++)
+                nm += (q[i + x] != t[j + x]) || q[i + x] >= 4 ||
+                      t[j + x] >= 4;
+            i += ln; j += ln;
+        } else if (op == OP_I) { nm += ln; i += ln; }
+        else if (op == OP_D) { nm += ln; j += ln; }
+        else if (op == 4) { i += ln; }  // S
+    }
+    return nm;
+}
+
+}  // extern "C"

@@ -49,8 +49,8 @@ def extract_scores(h_last, m_len, n_len, lo):
 def run_group_xla(q, t_win, m_len, n_len, lo, scores):
     """XLA engine + host traceback. Returns a 'group result' object the
     batcher post-processes: dict with numpy arrays + a cigar() closure."""
+    from lamsa_tpu import native
     from lamsa_tpu.ops.banded_sw_xla import banded_sw_batch
-    from lamsa_tpu.ops.traceback import traceback_banded
 
     res = banded_sw_batch(q, t_win, m_len, n_len, lo,
                           match=scores.match, mismatch=scores.mismatch,
@@ -65,7 +65,7 @@ def run_group_xla(q, t_win, m_len, n_len, lo, scores):
     }
 
     def cigar(b: int, i: int, j: int):
-        return traceback_banded(dirs[b], int(lo[b]), i, j)
+        return native.traceback_banded(dirs[b], int(lo[b]), i, j)
 
     return out, cigar
 
@@ -76,7 +76,6 @@ def run_group_pallas(q, t_win, m_len, n_len, lo, scores):
     `traceback(start_i, start_d)` ONCE for the whole group; after that
     `cigar(b, ...)` decodes per instance."""
     from lamsa_tpu.ops.banded_sw_pallas import banded_sw_pallas
-    from lamsa_tpu.ops.traceback import decode_steps
     from lamsa_tpu.ops.traceback_pallas import traceback_pallas
 
     B = q.shape[0]
@@ -104,17 +103,18 @@ def run_group_pallas(q, t_win, m_len, n_len, lo, scores):
     state = {}
 
     def traceback(start_i: np.ndarray, start_d: np.ndarray):
+        from lamsa_tpu import native
         si = np.pad(start_i.astype(np.int32), (0, Bp - B))
         sd = np.pad(start_d.astype(np.int32), (0, Bp - B))
         steps, term = traceback_pallas(res["dirs32"], m_len, n_len, lo,
                                        si, sd)
-        state["steps"] = np.asarray(steps)
-        state["term"] = np.asarray(term)
+        state["cigars"] = native.decode_steps_batch(
+            np.asarray(steps), np.asarray(term), si)
         state["start_i"] = si
 
     def cigar(b: int, i: int, j: int):
         # i must equal the start_i passed to traceback() for instance b
         assert i == int(state["start_i"][b]), "start mismatch"
-        return decode_steps(state["steps"][b], state["term"][b], i)
+        return state["cigars"][b]
 
     return out, traceback, cigar

@@ -36,8 +36,8 @@ _EXT_CAP = 2048          # longest end extension attempted (rest soft-clips)
 
 
 def _revcomp_codes(codes: np.ndarray) -> np.ndarray:
-    comp = np.array([3, 2, 1, 0, 4], np.uint8)
-    return comp[codes[::-1]]
+    from lamsa_tpu import native
+    return native.revcomp4(codes)
 
 
 @dataclasses.dataclass
@@ -295,10 +295,11 @@ class Aligner:
         if not any(op == OP_M for op, _ in merged):
             return None
 
+        from lamsa_tpu import native
         from lamsa_tpu.io.sam import cigar_ref_len
         ref_len = cigar_ref_len(merged)
-        nm = compute_nm(qseq[qs_cov:qe_cov],
-                        self.ref.codes[pos:pos + ref_len], merged)
+        nm = native.nm_from_cigar(qseq[qs_cov:qe_cov],
+                                  self.ref.codes[pos:pos + ref_len], merged)
 
         cigar = []
         if qs_cov > 0:
