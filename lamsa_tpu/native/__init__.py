@@ -39,6 +39,9 @@ def _load():
     lib.lamsa_decode_steps.argtypes = [i32p, i32p, i32p, c, c, c, u32p, c,
                                        i32p]
     lib.lamsa_decode_steps.restype = c
+    lib.lamsa_decode_steps16.argtypes = [i32p, i32p, i32p, c, c, c, u32p,
+                                         c, i32p]
+    lib.lamsa_decode_steps16.restype = c
     lib.lamsa_traceback_banded.argtypes = [i8p, c, c, c, c, c, u32p, c,
                                            i32p]
     lib.lamsa_traceback_banded.restype = c
@@ -106,6 +109,32 @@ def decode_steps_batch(steps: np.ndarray, term: np.ndarray,
         if out_n[b] < 0:  # overflow: fall back
             from lamsa_tpu.ops.traceback import decode_steps
             res.append(decode_steps(steps[b], term[b], int(si[b])))
+        else:
+            res.append(_runs_to_cigar(out_ops[b], int(out_n[b])))
+    return res
+
+
+def decode_steps16_batch(steps16: np.ndarray, term: np.ndarray,
+                         start_i: np.ndarray, maxc: int = MAXC_DEFAULT):
+    """Batch decode of the 16-bit packed step stream."""
+    lib = _load()
+    B, M2 = steps16.shape
+    if lib is None:
+        from lamsa_tpu.ops.traceback import decode_steps16
+        return [decode_steps16(steps16[b], term[b], int(start_i[b]))
+                for b in range(B)]
+    steps16 = np.ascontiguousarray(steps16, np.int32)
+    term = np.ascontiguousarray(term, np.int32)
+    si = np.ascontiguousarray(start_i, np.int32)
+    out_ops = np.empty((B, maxc), np.uint32)
+    out_n = np.empty(B, np.int32)
+    lib.lamsa_decode_steps16(steps16, term, si, B, M2, term.shape[1],
+                             out_ops.reshape(-1), maxc, out_n)
+    res = []
+    for b in range(B):
+        if out_n[b] < 0:
+            from lamsa_tpu.ops.traceback import decode_steps16
+            res.append(decode_steps16(steps16[b], term[b], int(si[b])))
         else:
             res.append(_runs_to_cigar(out_ops[b], int(out_n[b])))
     return res

@@ -98,6 +98,32 @@ int lamsa_decode_steps(const int32_t* steps, const int32_t* term,
     return rc;
 }
 
+// 16-bit packed variant: two rows per int32 word, each (count:14|op:2).
+int lamsa_decode_steps16(const int32_t* steps16, const int32_t* term,
+                         const int32_t* start_i, int32_t B, int32_t M2,
+                         int32_t term_stride, uint32_t* out_ops,
+                         int32_t out_stride, int32_t* out_n) {
+    int rc = 0;
+    for (int32_t b = 0; b < B; b++) {
+        RunBuf rb{out_ops + (int64_t)b * out_stride, out_stride, 0, false};
+        const int32_t* srow = steps16 + (int64_t)b * M2;
+        for (int32_t r = start_i[b]; r >= 1; r--) {
+            uint32_t w = (uint32_t)srow[(r - 1) >> 1];
+            uint32_t s16 = (w >> (16 * ((r - 1) & 1))) & 0xFFFF;
+            int32_t cnt = s16 & 0x3FFF;
+            int32_t op = s16 >> 14;
+            rb.push(OP_D, cnt);
+            if (op == 0) rb.push(OP_M, 1);
+            else if (op == 1) rb.push(OP_I, 1);
+        }
+        rb.push(OP_D, term[(int64_t)b * term_stride]);
+        reverse_runs(rb.out, rb.count);
+        out_n[b] = rb.overflow ? -1 : rb.count;
+        if (rb.overflow) rc = -1;
+    }
+    return rc;
+}
+
 // ------------------------------------------------- banded dirs traceback
 
 // dirs: uint8[M, W], row r at index r-1; lane d of row i = cell

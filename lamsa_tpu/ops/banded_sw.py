@@ -70,6 +70,70 @@ def run_group_xla(q, t_win, m_len, n_len, lo, scores):
     return out, cigar
 
 
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gapo",
+                                             "gape"))
+def _dp_tb_fused(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
+                 mismatch, gapo, gape):
+    """Single device dispatch: banded DP -> score extraction -> clip
+    decision -> on-device traceback. Returns ONE packed int32 array
+    (B, M + 16): [steps | term(8) | score | start_i | start_d | pad...]
+    so the host needs exactly one transfer per group."""
+    from lamsa_tpu.ops.banded_sw_pallas import banded_sw_pallas
+    from lamsa_tpu.ops.traceback_pallas import traceback_pallas
+
+    res = banded_sw_pallas(q, t_win, m_len, n_len, lo, match=match,
+                           mismatch=mismatch, gapo=gapo, gape=gape)
+    g, te, te_d = extract_scores(res["h_last"], m_len, n_len, lo)
+    best = res["best"]
+    te_j = m_len + lo + te_d
+    use_te = (te > NEG_INF) & (te >= best[:, 0] - bonus)
+    si_ext = jnp.where(use_te, m_len, best[:, 1])
+    sj_ext = jnp.where(use_te, te_j, best[:, 1] + lo + best[:, 2])
+    sc_ext = jnp.where(use_te, te, best[:, 0])
+    si = jnp.where(is_global, m_len, si_ext)
+    sj = jnp.where(is_global, n_len, sj_ext)
+    score = jnp.where(is_global, g, sc_ext)
+    sd = (sj - si - lo).astype(jnp.int32)
+    steps, term = traceback_pallas(res["dirs32"], m_len, n_len, lo,
+                                   si.astype(jnp.int32), sd)
+    # repack step words to 16 bits (count:14 | op:2) and pair rows per
+    # int32 — halves the device->host payload (the scarce resource)
+    count = steps & 0xFFFF
+    op = steps >> 16
+    s16 = (count & 0x3FFF) | (op << 14)
+    packed16 = s16[:, 0::2] | (s16[:, 1::2] << 16)
+    B = q.shape[0]
+    tail = jnp.concatenate(
+        [term, score[:, None], si[:, None].astype(jnp.int32),
+         sd[:, None], jnp.zeros((B, 5), jnp.int32)], axis=1)
+    return jnp.concatenate([packed16, tail], axis=1)
+
+
+def dispatch_group_pallas(q, t_win, m_len, n_len, lo, is_global, bonus,
+                          scores):
+    """Async launch of the fused DP+decide+traceback chain; returns the
+    device array (no sync). Pair with collect_group_pallas."""
+    return _dp_tb_fused(q, t_win, m_len, n_len, lo, is_global, bonus,
+                        match=scores.match, mismatch=scores.mismatch,
+                        gapo=scores.gap_open, gape=scores.gap_ext)
+
+
+def collect_group_pallas(packed_dev, M):
+    """Sync one group's packed result; returns (cigars, scores, si, sj
+    arrays). Steps arrive 2-rows-per-word (16-bit each)."""
+    from lamsa_tpu import native
+
+    M2 = M // 2
+    packed = np.asarray(packed_dev)
+    steps16 = packed[:, :M2]
+    term = packed[:, M2:M2 + 8]
+    score = packed[:, M2 + 8]
+    si = packed[:, M2 + 9]
+    sd = packed[:, M2 + 10]
+    cigars = native.decode_steps16_batch(steps16, term, si)
+    return cigars, score, si, sd
+
+
 def run_group_pallas(q, t_win, m_len, n_len, lo, scores):
     """Pallas engine + on-device traceback, two phases: the batcher
     first reads scores, decides start cells, then calls the returned

@@ -157,20 +157,29 @@ def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref,
         f_scr[:] = f_m
         return d_byte
 
+    # Skip 32-row groups entirely above every instance's query length in
+    # this tile (instances are sorted by length by the batcher, so tiles
+    # of short gaps skip most of M). Dirs for skipped rows stay garbage
+    # in HBM — the traceback never reads rows above its start cell.
+    max_m = jnp.max(mlen_ref[:])
+
     def group_body(g, _):
-        def word_body(w, _):
-            def row4_body(p, word_acc):
-                r = g * _ROWS_PER_GROUP + w * _ROWS_PER_WORD + p
-                d_byte = row_compute(r)
-                return word_acc | (d_byte << (8 * p))
-            word = jax.lax.fori_loop(
-                0, _ROWS_PER_WORD, row4_body,
-                jnp.zeros((G, W), jnp.int32))
-            wa_scr[:] = jnp.where(sub8 == w, word[:, None, :], wa_scr[:])
-            return 0
-        jax.lax.fori_loop(0, _WORDS_PER_STORE, word_body, 0)
-        off = pl.multiple_of(g * _WORDS_PER_STORE, _WORDS_PER_STORE)
-        dirs_ref[:, pl.ds(off, _WORDS_PER_STORE), :] = wa_scr[:]
+        @pl.when(rb * RB + g * _ROWS_PER_GROUP < max_m)
+        def _run():
+            def word_body(w, _):
+                def row4_body(p, word_acc):
+                    r = g * _ROWS_PER_GROUP + w * _ROWS_PER_WORD + p
+                    d_byte = row_compute(r)
+                    return word_acc | (d_byte << (8 * p))
+                word = jax.lax.fori_loop(
+                    0, _ROWS_PER_WORD, row4_body,
+                    jnp.zeros((G, W), jnp.int32))
+                wa_scr[:] = jnp.where(sub8 == w, word[:, None, :],
+                                      wa_scr[:])
+                return 0
+            jax.lax.fori_loop(0, _WORDS_PER_STORE, word_body, 0)
+            off = pl.multiple_of(g * _WORDS_PER_STORE, _WORDS_PER_STORE)
+            dirs_ref[:, pl.ds(off, _WORDS_PER_STORE), :] = wa_scr[:]
         return 0
 
     jax.lax.fori_loop(0, RB // _ROWS_PER_GROUP, group_body, 0)

@@ -96,3 +96,31 @@ def decode_steps(steps_row: np.ndarray, term_row: np.ndarray,
             push(OP_I, 1)
     push(OP_D, int(term_row[0]))
     return [(op, ln) for op, ln in reversed(ops)]
+
+
+def decode_steps16(steps16_row: np.ndarray, term_row: np.ndarray,
+                   start_i: int):
+    """Decode the 16-bit-packed step stream (two DP rows per int32,
+    each (count:14 | op:2)); see ops/banded_sw.py _dp_tb_fused."""
+    ops: list[list[int]] = []
+
+    def push(op, ln):
+        if ln <= 0:
+            return
+        if ops and ops[-1][0] == op:
+            ops[-1][1] += ln
+        else:
+            ops.append([op, ln])
+
+    for r in range(int(start_i), 0, -1):
+        w = int(steps16_row[(r - 1) >> 1]) & 0xFFFFFFFF
+        s16 = (w >> (16 * ((r - 1) & 1))) & 0xFFFF
+        count = s16 & 0x3FFF
+        step_op = s16 >> 14
+        push(OP_D, count)
+        if step_op == 0:
+            push(OP_M, 1)
+        elif step_op == 1:
+            push(OP_I, 1)
+    push(OP_D, int(term_row[0]))
+    return [(op, ln) for op, ln in reversed(ops)]

@@ -185,7 +185,18 @@ def _kernel(dirs_ref, mlen_ref, lo_ref, si_ref, sd_ref,
 
         return 0
 
-    jax.lax.fori_loop(0, RB, row_body, 0)
+    # Skip 32-row groups above every start row in the tile (batcher
+    # sorts instances by length; step words for skipped rows are
+    # garbage, never read by the decoder).
+    max_si = jnp.max(si_ref[:])
+
+    def group_body(g, _):
+        @pl.when(blk_hi - g * 32 - 31 <= max_si)
+        def _run():
+            jax.lax.fori_loop(g * 32, g * 32 + 32, row_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, RB // 32, group_body, 0)
     steps_ref[:] = acc_scr[:]
 
 

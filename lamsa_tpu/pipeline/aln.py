@@ -17,8 +17,11 @@ parallelism over read shards — parallel/).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from lamsa_tpu.config import AlignConfig
@@ -31,8 +34,33 @@ from lamsa_tpu.ops.chain import chain_hits
 from lamsa_tpu.pipeline.extend import EXT_MARGIN, DpBatcher, compute_nm
 from lamsa_tpu.pipeline.seeding import make_qpos_grid, seed_hits
 from lamsa_tpu.pipeline.skeleton import anchors_to_blocks, build_skeleton
+from lamsa_tpu.utils.timers import GLOBAL as STATS
 
 _EXT_CAP = 2048          # longest end extension attempted (rest soft-clips)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "cands_per_seed", "max_hits", "weight", "lookback",
+                     "max_dist", "diag_slack"))
+def _seed_chain_packed(rc, lens, grid, keys, starts, counts, positions, *,
+                       k, cands_per_seed, max_hits, weight, lookback,
+                       max_dist, diag_slack):
+    """Fused seeding+chaining returning one packed (6, B, H) int32 array
+    (qpos, rpos-bits, strand, valid, f, pred) — single transfer."""
+    hits = seed_hits(rc, lens, grid, keys, starts, counts, positions, k=k,
+                     cands_per_seed=cands_per_seed, max_hits=max_hits)
+    f, pred = chain_hits(hits["qpos"], hits["rpos"], hits["strand"],
+                         hits["valid"], weight=weight, lookback=lookback,
+                         max_dist=max_dist, diag_slack=diag_slack)
+    return jnp.stack([
+        hits["qpos"],
+        jax.lax.bitcast_convert_type(hits["rpos"], jnp.int32),
+        hits["strand"],
+        hits["valid"].astype(jnp.int32),
+        f,
+        pred,
+    ])
 
 
 def _revcomp_codes(codes: np.ndarray) -> np.ndarray:
@@ -54,7 +82,6 @@ class _PendingPart:
 class Aligner:
     def __init__(self, ref: PackedReference, index: KmerIndex,
                  config: AlignConfig | None = None):
-        import jax.numpy as jnp
         self.ref = ref
         self.index = index
         self.config = config or AlignConfig()
@@ -90,26 +117,40 @@ class Aligner:
         pending: list[tuple[int, list[_PendingPart], object]] = []
 
         for L, idxs in sorted(groups.items()):
-            hit_arrays = self._seed_and_chain(codes, idxs, L)
-            for gi, ri in enumerate(idxs):
-                sk = self._build_skeleton(hit_arrays, gi, len(codes[ri]))
-                parts = self._enqueue_parts(sk, codes[ri], batcher)
-                pending.append((ri, parts, sk))
+            with STATS.stage("seed_chain_device"):
+                hit_arrays = self._seed_and_chain(codes, idxs, L)
+            with STATS.stage("skeleton_host"):
+                for gi, ri in enumerate(idxs):
+                    sk = self._build_skeleton(hit_arrays, gi, len(codes[ri]))
+                    parts = self._enqueue_parts(sk, codes[ri], batcher)
+                    pending.append((ri, parts, sk))
 
-        batcher.run()
+        with STATS.stage("dp_batch"):
+            batcher.run()
 
-        for ri, parts, sk in pending:
-            out[ri] = self._finalize_read(reads[ri], codes[ri], parts, sk,
-                                          batcher)
+        with STATS.stage("finalize_host"):
+            for ri, parts, sk in pending:
+                out[ri] = self._finalize_read(reads[ri], codes[ri], parts,
+                                              sk, batcher)
+        STATS.count("reads", len(reads))
         return out
 
     # -------------------------------------------------------- device stages
 
     def _seed_and_chain(self, codes, idxs, L):
+        """Device seeding+chaining for one read-length bucket.
+
+        Shape discipline: the batch dim is padded to a power of two so
+        jit signatures are drawn from a tiny static set (arbitrary B
+        would force a remote recompile per batch — measured at seconds
+        per signature on this environment's compile relay). All six hit
+        arrays come back in ONE packed device->host transfer (the relay
+        has high per-transfer latency)."""
         cfg = self.config
         B = len(idxs)
-        rc = np.full((B, L), 4, np.int32)
-        lens = np.zeros(B, np.int32)
+        Bp = max(8, 1 << (B - 1).bit_length())
+        rc = np.full((Bp, L), 4, np.int32)
+        lens = np.zeros(Bp, np.int32)
         for b, ri in enumerate(idxs):
             c = codes[ri][:L]
             rc[b, :len(c)] = c
@@ -117,24 +158,21 @@ class Aligner:
         if L not in self._grids:
             self._grids[L] = make_qpos_grid(L, self.index.k, cfg.seed_step)
         grid = self._grids[L]
-        hits = seed_hits(rc, lens, grid, self._dev["keys"],
-                         self._dev["starts"], self._dev["counts"],
-                         self._dev["positions"], k=self.index.k,
-                         cands_per_seed=cfg.max_cands_per_seed,
-                         max_hits=cfg.max_hits_per_read)
-        f, pred = chain_hits(hits["qpos"], hits["rpos"], hits["strand"],
-                             hits["valid"], weight=self.index.k,
-                             lookback=cfg.chain_lookback,
-                             max_dist=cfg.chain_max_dist,
-                             diag_slack=cfg.chain_diag_slack)
+        packed = _seed_chain_packed(
+            rc, lens, grid, self._dev["keys"], self._dev["starts"],
+            self._dev["counts"], self._dev["positions"], k=self.index.k,
+            cands_per_seed=cfg.max_cands_per_seed,
+            max_hits=cfg.max_hits_per_read, weight=self.index.k,
+            lookback=cfg.chain_lookback, max_dist=cfg.chain_max_dist,
+            diag_slack=cfg.chain_diag_slack)
+        packed = np.asarray(packed)[:, :B]          # (6, B, H) one transfer
         return {
-            "qpos": np.asarray(hits["qpos"]),
-            "rpos": np.asarray(hits["rpos"]).view(np.uint32)
-                      .astype(np.int64),
-            "strand": np.asarray(hits["strand"]),
-            "valid": np.asarray(hits["valid"]),
-            "f": np.asarray(f),
-            "pred": np.asarray(pred),
+            "qpos": packed[0],
+            "rpos": packed[1].view(np.uint32).astype(np.int64),
+            "strand": packed[2],
+            "valid": packed[3].astype(bool),
+            "f": packed[4],
+            "pred": packed[5],
         }
 
     def _build_skeleton(self, h, gi, read_len):

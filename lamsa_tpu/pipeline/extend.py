@@ -30,6 +30,13 @@ from lamsa_tpu.ops.traceback import traceback_banded
 # bucket that fits. W=128 lanes for short gaps, 256 for long ones.
 BUCKETS = ((128, 128), (256, 256), (512, 256), (1024, 256), (2048, 256))
 
+# Fixed chunk size per bucket (Pallas path): every kernel call has ONE
+# static shape per bucket, so the whole pipeline compiles a closed set
+# of signatures (remote compiles cost ~a minute per signature here).
+# Padding is nearly free: all-padding instance tiles have max m = 0 and
+# the kernels skip every row group. Sizes bound dirs32 HBM to ~256 MB.
+CHUNK_BY_M = {128: 4096, 256: 2048, 512: 1024, 1024: 512, 2048: 256}
+
 # Extra target bases given to end extensions beyond the query length;
 # must stay below min(W)//2 - 8 so the band reaches the last DP row.
 EXT_MARGIN = 48
@@ -114,18 +121,38 @@ class DpBatcher:
                 continue
             groups.setdefault(key, []).append(inst)
         self._inst = []
+        from lamsa_tpu.ops.banded_sw import backend_kind
+        pallas = self.kernel is None and backend_kind() == "pallas"
+        # Sorting by query length lets the kernels skip row groups above
+        # each instance tile's longest query. On the Pallas path ALL
+        # chunks are dispatched asynchronously before any is collected,
+        # overlapping device work with host<->device round trips.
+        launches = []
         for (M, W), insts in sorted(groups.items()):
-            self._run_group(insts, M, W)
+            insts.sort(key=lambda it: -len(it["q"]))
+            chunk = CHUNK_BY_M[M]
+            for c0 in range(0, len(insts), chunk):
+                part = insts[c0:c0 + chunk]
+                if pallas:
+                    launches.append(self._dispatch_pallas(part, M, W))
+                else:
+                    self._run_group_host(part, M, W)
+        for _, _, _, dev in launches:      # overlap all D2H transfers
+            try:
+                dev.copy_to_host_async()
+            except AttributeError:
+                pass
+        for insts, M, W, dev in launches:
+            self._collect_pallas(insts, M, W, dev)
 
-    def _run_group(self, insts, M, W):
-        from lamsa_tpu.ops.banded_sw import (backend_kind, run_group_pallas,
-                                             run_group_xla)
-        B = len(insts)
-        q = np.zeros((B, M), np.int32)
-        t_win = np.zeros((B, M + W), np.int32)
-        m_len = np.zeros(B, np.int32)
-        n_len = np.zeros(B, np.int32)
-        lo = np.zeros(B, np.int32)
+    def _build_arrays(self, insts, M, W, Bp):
+        q = np.zeros((Bp, M), np.int32)
+        t_win = np.zeros((Bp, M + W), np.int32)
+        m_len = np.zeros(Bp, np.int32)
+        n_len = np.zeros(Bp, np.int32)
+        lo = np.zeros(Bp, np.int32)
+        is_global = np.zeros(Bp, bool)
+        bonus = np.zeros(Bp, np.int32)
         for b, inst in enumerate(insts):
             qq, tt = inst["q"], inst["t"]
             m, n = len(qq), len(tt)
@@ -133,56 +160,81 @@ class DpBatcher:
             if inst["kind"] == "global":
                 need = abs(n - m) + 1
                 lo[b] = min(0, n - m) - (W - need) // 2
+                is_global[b] = True
             else:
                 # extend callers cap n <= m + EXT_MARGIN < W//2, so the
                 # centered band always reaches the last row
                 lo[b] = -(W // 2)
+                bonus[b] = inst["bonus"]
             q[b, :m] = qq
             t_win[b] = make_t_window(tt, int(lo[b]), M, W)
+        return q, t_win, m_len, n_len, lo, is_global, bonus
 
-        if self.kernel is not None:          # explicit kernel (tests)
-            engine = "explicit"
+    # ------------------------------------------------------- pallas engine
+
+    def _dispatch_pallas(self, insts, M, W):
+        from lamsa_tpu.ops.banded_sw import dispatch_group_pallas
+        from lamsa_tpu.utils.timers import GLOBAL as STATS
+        Bp = CHUNK_BY_M[M]    # one static shape per bucket
+        with STATS.stage(f"dp_build_{M}x{W}"):
+            arrays = self._build_arrays(insts, M, W, Bp)
+        q, t_win, m_len, n_len, lo, is_global, bonus = arrays
+        STATS.count(f"dp_cells_{M}x{W}", int(m_len.sum()) * W)
+        STATS.count("dp_instances", len(insts))
+        with STATS.stage(f"dp_dispatch_{M}x{W}"):
+            dev = dispatch_group_pallas(q, t_win, m_len, n_len, lo,
+                                        is_global, bonus, self.scores)
+        return insts, M, W, dev
+
+    def _collect_pallas(self, insts, M, W, dev):
+        from lamsa_tpu.ops.banded_sw import collect_group_pallas
+        from lamsa_tpu.utils.timers import GLOBAL as STATS
+        with STATS.stage(f"dp_collect_{M}x{W}"):
+            cigars, score, si, sd = collect_group_pallas(dev, M)
+        for b, inst in enumerate(insts):
+            m, n = len(inst["q"]), len(inst["t"])
+            if inst["kind"] == "global":
+                lo_b = min(0, n - m) - (W - (abs(n - m) + 1)) // 2
+            else:
+                lo_b = -(W // 2)
+            i = int(si[b])
+            j = i + lo_b + int(sd[b])
+            self._results[inst["idx"]] = DpResult(int(score[b]), cigars[b],
+                                                  i, j)
+
+    # --------------------------------------------------- host (XLA) engine
+
+    def _run_group_host(self, insts, M, W):
+        from lamsa_tpu.ops.banded_sw import backend_kind, run_group_xla
+        B = len(insts)
+        Bp = max(8, 1 << (B - 1).bit_length())
+        q, t_win, m_len, n_len, lo, is_global, bonus = \
+            self._build_arrays(insts, M, W, Bp)
+
+        from lamsa_tpu.utils.timers import GLOBAL as STATS
+        STATS.count(f"dp_cells_{M}x{W}", int(m_len.sum()) * W)
+        STATS.count("dp_instances", B)
+        if self.kernel is not None:
+            out, cigar = self._run_explicit(q, t_win, m_len, n_len, lo)
         else:
-            engine = backend_kind()
-
-        if engine == "pallas":
-            out, traceback, cigar = run_group_pallas(
-                q, t_win, m_len, n_len, lo, self.scores)
-        elif engine == "xla":
             out, cigar = run_group_xla(q, t_win, m_len, n_len, lo,
                                        self.scores)
-        else:
-            out, cigar = self._run_explicit(q, t_win, m_len, n_len, lo)
 
-        # decide start cells + scores per instance
-        start_i = np.zeros(B, np.int32)
-        start_j = np.zeros(B, np.int64)
-        escore = np.zeros(B, np.int64)
         best = out["best"]
         for b, inst in enumerate(insts):
             m, n, lo_b = int(m_len[b]), int(n_len[b]), int(lo[b])
             if inst["kind"] == "global":
-                start_i[b], start_j[b] = m, n
-                escore[b] = int(out["global_score"][b])
+                i, j, sc = m, n, int(out["global_score"][b])
             else:
                 b_score, b_i, b_d = (int(best[b, 0]), int(best[b, 1]),
                                      int(best[b, 2]))
                 te_score = int(out["te_score"][b])
                 te_j = m + lo_b + int(out["te_d"][b])
                 if te_score > NEG_INF and te_score >= b_score - inst["bonus"]:
-                    start_i[b], start_j[b], escore[b] = m, te_j, te_score
+                    i, j, sc = m, te_j, te_score
                 else:
-                    start_i[b] = b_i
-                    start_j[b] = b_i + lo_b + b_d
-                    escore[b] = b_score
-
-        if engine == "pallas":
-            traceback(start_i, (start_j - start_i - lo).astype(np.int32))
-
-        for b, inst in enumerate(insts):
-            i, j = int(start_i[b]), int(start_j[b])
-            cig = cigar(b, i, j)
-            self._results[inst["idx"]] = DpResult(int(escore[b]), cig, i, j)
+                    i, j, sc = b_i, b_i + lo_b + b_d, b_score
+            self._results[inst["idx"]] = DpResult(sc, cigar(b, i, j), i, j)
 
     def _run_explicit(self, q, t_win, m_len, n_len, lo):
         """Test hook: run a caller-provided kernel with the XLA-style

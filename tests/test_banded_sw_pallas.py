@@ -55,8 +55,14 @@ def test_pallas_interpret_matches_xla(rng, M, W):
                                   np.asarray(ref["h_last"]))
     np.testing.assert_array_equal(np.asarray(got["best"]),
                                   np.asarray(ref["best"]))
-    np.testing.assert_array_equal(unpack_dirs(np.asarray(got["dirs32"])),
-                                  np.asarray(ref["dirs"]))
+    got_dirs = unpack_dirs(np.asarray(got["dirs32"]))
+    ref_dirs = np.asarray(ref["dirs"])
+    # dirs above each tile's max query length are unspecified (the
+    # kernel skips those row groups); compare the meaningful rows only
+    for b in range(B):
+        mb = int(m_len[b])
+        np.testing.assert_array_equal(got_dirs[b, :mb], ref_dirs[b, :mb],
+                                      err_msg=f"instance {b}")
 
 
 def test_pallas_interpret_empty_and_padded(rng):
@@ -71,5 +77,9 @@ def test_pallas_interpret_empty_and_padded(rng):
     got = banded_sw_pallas(q, t_win, m_len, n_len, lo, interpret=True, **kw)
     np.testing.assert_array_equal(np.asarray(got["h_last"]),
                                   np.asarray(ref["h_last"]))
-    np.testing.assert_array_equal(unpack_dirs(np.asarray(got["dirs32"])),
-                                  np.asarray(ref["dirs"]))
+    got_dirs = unpack_dirs(np.asarray(got["dirs32"]))
+    ref_dirs = np.asarray(ref["dirs"])
+    for b in range(B):
+        mb = int(m_len[b])
+        np.testing.assert_array_equal(got_dirs[b, :mb], ref_dirs[b, :mb],
+                                      err_msg=f"instance {b}")

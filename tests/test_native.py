@@ -94,3 +94,32 @@ def test_native_nm(rng):
     want = compute_nm(q2, t, cig)
     got = native.nm_from_cigar(q2, t, cig)
     assert got == want
+
+
+def test_native_decode_steps16_matches_python(rng):
+    from lamsa_tpu.ops.traceback import decode_steps16
+    from lamsa_tpu.ops.traceback_pallas import traceback_pallas
+    from tests.test_banded_sw_pallas import make_batch
+    from tests.test_traceback_pallas import pack_dirs
+
+    B, M, W = 8, 128, 128
+    q, t_win, m_len, n_len, lo = make_batch(rng, B, M, W)
+    res = banded_sw_batch(q, t_win, m_len, n_len, lo, match=S.match,
+                          mismatch=S.mismatch, gapo=S.gap_open,
+                          gape=S.gap_ext)
+    dirs32 = pack_dirs(np.asarray(res["dirs"]))
+    si = m_len.copy()
+    sd = n_len - m_len - lo
+    steps, term = traceback_pallas(dirs32, m_len, n_len, lo, si, sd,
+                                   interpret=True)
+    steps, term = np.asarray(steps), np.asarray(term)
+    # pack to the 16-bit stream exactly as _dp_tb_fused does
+    count = steps & 0xFFFF
+    op = steps >> 16
+    s16 = (count & 0x3FFF) | (op << 14)
+    steps16 = s16[:, 0::2] | (s16[:, 1::2] << 16)
+    got = native.decode_steps16_batch(steps16, term, si)
+    for b in range(B):
+        want = decode_steps16(steps16[b], term[b], int(si[b]))
+        ref = decode_steps(steps[b], term[b], int(si[b]))
+        assert got[b] == want == ref, b
