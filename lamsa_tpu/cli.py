@@ -27,23 +27,40 @@ def auto_kmer(genome_len: int) -> int:
                            + 2)))
 
 
+# genomes above this size use the FM-index (k-mer position tables would
+# exceed HBM); below it the sorted k-mer table is faster to build+query
+FM_THRESHOLD = 200_000_000
+
+
 def cmd_index(args) -> int:
+    from lamsa_tpu.index.fmindex import FmIndex
     from lamsa_tpu.index.kmer import KmerIndex
     from lamsa_tpu.io.refpack import PackedReference
 
     t0 = time.time()
     ref = PackedReference.from_fasta(args.ref)
-    k = args.kmer or auto_kmer(ref.total_len)
-    print(f"[lamsa_tpu index] packed {ref.num_seqs} seq(s), "
-          f"{ref.total_len} bp; k={k}", file=sys.stderr)
-    idx = KmerIndex.build(ref.codes, k,
-                          max_hits_per_kmer=args.max_hits_per_kmer)
     out = _index_dir(args.ref)
     ref.save(out)
-    idx.save(out)
-    print(f"[lamsa_tpu index] {len(idx.keys)} distinct k-mers, "
-          f"{len(idx.positions)} positions -> {out} "
-          f"({time.time() - t0:.1f}s)", file=sys.stderr)
+    use_fm = args.fm or (ref.total_len > FM_THRESHOLD and not args.kmer_index)
+    if use_fm:
+        print(f"[lamsa_tpu index] packed {ref.num_seqs} seq(s), "
+              f"{ref.total_len} bp; building FM-index (BWT/SA-IS)",
+              file=sys.stderr)
+        fm = FmIndex.build(ref.codes)
+        fm.save(out)
+        print(f"[lamsa_tpu index] FM-index: primary={fm.primary}, "
+              f"{len(fm.ssa_pos)} sampled SA entries -> {out} "
+              f"({time.time() - t0:.1f}s)", file=sys.stderr)
+    else:
+        k = args.kmer or auto_kmer(ref.total_len)
+        print(f"[lamsa_tpu index] packed {ref.num_seqs} seq(s), "
+              f"{ref.total_len} bp; k={k}", file=sys.stderr)
+        idx = KmerIndex.build(ref.codes, k,
+                              max_hits_per_kmer=args.max_hits_per_kmer)
+        idx.save(out)
+        print(f"[lamsa_tpu index] {len(idx.keys)} distinct k-mers, "
+              f"{len(idx.positions)} positions -> {out} "
+              f"({time.time() - t0:.1f}s)", file=sys.stderr)
     return 0
 
 
@@ -63,7 +80,11 @@ def cmd_aln(args) -> int:
               f"run 'lamsa index {args.ref}' first", file=sys.stderr)
         return 1
     ref = PackedReference.load(idx_dir)
-    index = KmerIndex.load(idx_dir)
+    from lamsa_tpu.index.fmindex import FmIndex
+    if FmIndex.exists(idx_dir):
+        index = FmIndex.load(idx_dir)
+    else:
+        index = KmerIndex.load(idx_dir)
 
     cfg = preset(args.preset)
     scores = ScoreParams(match=args.match, mismatch=args.mismatch,
@@ -110,6 +131,10 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("-k", "--kmer", type=int, default=None,
                     help="index k-mer length (default: auto from genome)")
     pi.add_argument("--max-hits-per-kmer", type=int, default=64)
+    pi.add_argument("--fm", action="store_true",
+                    help="force FM-index (default for genomes > 200 Mb)")
+    pi.add_argument("--kmer-index", action="store_true",
+                    help="force sorted k-mer index")
     pi.set_defaults(func=cmd_index)
 
     pa = sub.add_parser("aln", help="align long reads, emit SAM")

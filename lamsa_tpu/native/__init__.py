@@ -50,6 +50,10 @@ def _load():
     lib.lamsa_banded_sw_cpu.restype = c
     lib.lamsa_nm_from_cigar.argtypes = [i8p, i8p, u32p, c]
     lib.lamsa_nm_from_cigar.restype = ctypes.c_int64
+    lib.lamsa_sais_u8.argtypes = [i8p, u32p, ctypes.c_int64, c]
+    lib.lamsa_sais_u8.restype = c
+    lib.lamsa_bwt_from_sa.argtypes = [i8p, u32p, ctypes.c_int64, i8p]
+    lib.lamsa_bwt_from_sa.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -187,3 +191,65 @@ def nm_from_cigar(q: np.ndarray, t: np.ndarray, cigar) -> int:
     return int(lib.lamsa_nm_from_cigar(
         np.ascontiguousarray(q, np.uint8),
         np.ascontiguousarray(t, np.uint8), runs, len(runs)))
+
+
+def suffix_array(codes: np.ndarray) -> np.ndarray:
+    """Suffix array of an nt4 code array (values 0..4), computed with
+    native SA-IS over the sentinel-extended text. Returns uint32[n]
+    (suffix start offsets of the ORIGINAL text, sentinel excluded)."""
+    lib = _load()
+    n = len(codes)
+    if lib is None:
+        # naive fallback for tiny inputs (tests without a compiler)
+        return np.array(sorted(range(n),
+                               key=lambda i: codes[i:].tobytes()),
+                        np.uint32)
+    T = np.empty(n + 1, np.uint8)
+    T[:n] = np.asarray(codes, np.uint8) + 1
+    T[n] = 0
+    SA = np.empty(n + 1, np.uint32)
+    rc = lib.lamsa_sais_u8(T, SA, n + 1, 7)
+    if rc != 0:
+        raise ValueError("sais failed")
+    return SA[1:].copy()        # drop the sentinel row (always first)
+
+
+def bwt_from_sa(codes: np.ndarray, sa_full: np.ndarray):
+    """BWA-style BWT: returns (bwt uint8[n], primary). sa_full must be
+    the sentinel-INCLUDED SA (use _suffix_array_full)."""
+    lib = _load()
+    n = len(codes)
+    bwt = np.empty(n, np.uint8)
+    if lib is None:
+        primary = -1
+        w = 0
+        for i, s_ in enumerate(sa_full):
+            if s_ == 0:
+                primary = i
+                continue
+            bwt[w] = codes[s_ - 1]
+            w += 1
+        return bwt, primary
+    primary = lib.lamsa_bwt_from_sa(np.ascontiguousarray(codes, np.uint8),
+                                    np.ascontiguousarray(sa_full,
+                                                         np.uint32),
+                                    len(sa_full), bwt)
+    return bwt, int(primary)
+
+
+def suffix_array_full(codes: np.ndarray) -> np.ndarray:
+    """Sentinel-included SA (row 0 is the sentinel suffix)."""
+    lib = _load()
+    n = len(codes)
+    if lib is None:
+        key = list(np.asarray(codes, np.int16) + 1) + [0]
+        return np.array(sorted(range(n + 1),
+                               key=lambda i: key[i:]), np.uint32)
+    T = np.empty(n + 1, np.uint8)
+    T[:n] = np.asarray(codes, np.uint8) + 1
+    T[n] = 0
+    SA = np.empty(n + 1, np.uint32)
+    rc = lib.lamsa_sais_u8(T, SA, n + 1, 7)
+    if rc != 0:
+        raise ValueError("sais failed")
+    return SA

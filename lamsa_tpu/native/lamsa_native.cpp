@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <algorithm>
 
 extern "C" {
 
@@ -249,6 +250,144 @@ int64_t lamsa_nm_from_cigar(const uint8_t* q, const uint8_t* t,
         else if (op == 4) { i += ln; }  // S
     }
     return nm;
+}
+
+}  // extern "C"
+
+// ----------------------------------------------------- suffix array (SA-IS)
+//
+// Linear-time suffix array construction (Nong/Zhang/Chan SA-IS),
+// written from the published algorithm. Used to build the FM-index
+// (BWT + Occ + sampled SA) that replaces the reference's external GEM
+// FM-index for whole-genome seeding (SURVEY.md section 7 step 2a).
+// uint32 indices: texts up to 4 Gi (GRCh38 = 3.1 G). T must end with a
+// unique smallest sentinel (value 0, occurring exactly once, at T[n-1]).
+
+namespace {
+
+const uint32_t EMPTY_ = 0xFFFFFFFFu;
+
+template <typename C>
+inline bool is_lms(const std::vector<bool>& st, size_t i) {
+    return i > 0 && st[i] && !st[i - 1];
+}
+
+template <typename C>
+void sais_impl(const C* T, uint32_t* SA, size_t n, size_t K) {
+    std::vector<bool> st(n);
+    st[n - 1] = true;
+    for (size_t i = n - 1; i-- > 0;)
+        st[i] = (T[i] < T[i + 1]) || (T[i] == T[i + 1] && st[i + 1]);
+
+    std::vector<uint32_t> bkt(K);
+    auto fill_bkt = [&](bool ends) {
+        std::fill(bkt.begin(), bkt.end(), 0u);
+        for (size_t i = 0; i < n; i++) bkt[T[i]]++;
+        uint32_t sum = 0;
+        for (size_t c = 0; c < K; c++) {
+            sum += bkt[c];
+            bkt[c] = ends ? sum : sum - bkt[c];
+        }
+    };
+    auto induce = [&]() {
+        fill_bkt(false);
+        for (size_t i = 0; i < n; i++) {
+            uint32_t j = SA[i];
+            if (j != EMPTY_ && j > 0 && !st[j - 1]) SA[bkt[T[j - 1]]++] = j - 1;
+        }
+        fill_bkt(true);
+        for (size_t i = n; i-- > 0;) {
+            uint32_t j = SA[i];
+            if (j != EMPTY_ && j > 0 && st[j - 1]) SA[--bkt[T[j - 1]]] = j - 1;
+        }
+    };
+
+    std::fill(SA, SA + n, EMPTY_);
+    fill_bkt(true);
+    for (size_t i = 1; i < n; i++)
+        if (is_lms<C>(st, i)) SA[--bkt[T[i]]] = (uint32_t)i;
+    induce();
+
+    size_t n1 = 0;
+    for (size_t i = 0; i < n; i++)
+        if (SA[i] != EMPTY_ && is_lms<C>(st, SA[i])) SA[n1++] = SA[i];
+    std::fill(SA + n1, SA + n, EMPTY_);
+
+    size_t name = 0;
+    uint32_t prev = EMPTY_;
+    for (size_t i = 0; i < n1; i++) {
+        uint32_t pos = SA[i];
+        bool diff = false;
+        if (prev == EMPTY_) diff = true;
+        else {
+            for (size_t d = 0;; d++) {
+                if (pos + d == n || prev + d == n ||
+                    T[pos + d] != T[prev + d] || st[pos + d] != st[prev + d]) {
+                    diff = true;
+                    break;
+                }
+                if (d > 0 && (is_lms<C>(st, pos + d) || is_lms<C>(st, prev + d))) {
+                    diff = !(is_lms<C>(st, pos + d) && is_lms<C>(st, prev + d));
+                    break;
+                }
+            }
+        }
+        if (diff) { name++; prev = pos; }
+        SA[n1 + pos / 2] = (uint32_t)(name - 1);
+    }
+    std::vector<uint32_t> s1(n1);
+    for (size_t i = n1, j = 0; i < n; i++)
+        if (SA[i] != EMPTY_) s1[j++] = SA[i];
+
+    if (name < n1) {
+        sais_impl<uint32_t>(s1.data(), SA, n1, name);
+    } else {
+        for (size_t i = 0; i < n1; i++) SA[s1[i]] = (uint32_t)i;
+    }
+    // map reduced SA back to LMS text positions
+    std::vector<uint32_t> P;
+    P.reserve(n1);
+    for (size_t i = 1; i < n; i++)
+        if (is_lms<C>(st, i)) P.push_back((uint32_t)i);
+    for (size_t i = 0; i < n1; i++) s1[i] = SA[i];          // reduced order
+    for (size_t i = 0; i < n1; i++) SA[i] = P[s1[i]];
+    std::fill(SA + n1, SA + n, EMPTY_);
+    fill_bkt(true);
+    for (size_t i = n1; i-- > 0;) {
+        uint32_t j = SA[i];
+        SA[i] = EMPTY_;
+        SA[--bkt[T[j]]] = j;
+    }
+    induce();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Build the suffix array of codes[0..n) + implicit handling: caller
+// appends the sentinel (value 0 must be unique; pass codes shifted +1
+// with a trailing 0). K = alphabet size including sentinel.
+int lamsa_sais_u8(const uint8_t* T, uint32_t* SA, int64_t n, int32_t K) {
+    if (n <= 0 || T[n - 1] != 0) return -1;
+    sais_impl<uint8_t>(T, SA, (size_t)n, (size_t)K);
+    return 0;
+}
+
+// BWT from SA: bwt[i] = T[SA[i]-1] (codes WITHOUT sentinel shift),
+// sentinel row excluded (BWA-style): returns primary (the row where
+// SA[i]==0, whose BWT char is the sentinel). bwt_out has length n-1
+// (the $-less BWT over the original n-1 chars... here n includes the
+// sentinel, so output length n-1).
+int64_t lamsa_bwt_from_sa(const uint8_t* codes, const uint32_t* SA,
+                          int64_t n, uint8_t* bwt_out) {
+    int64_t primary = -1, w = 0;
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t s = SA[i];
+        if (s == 0) { primary = i; continue; }  // BWT char is sentinel
+        bwt_out[w++] = codes[s - 1];
+    }
+    return primary;
 }
 
 }  // extern "C"

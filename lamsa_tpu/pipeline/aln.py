@@ -39,17 +39,7 @@ from lamsa_tpu.utils.timers import GLOBAL as STATS
 _EXT_CAP = 2048          # longest end extension attempted (rest soft-clips)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "cands_per_seed", "max_hits", "weight", "lookback",
-                     "max_dist", "diag_slack"))
-def _seed_chain_packed(rc, lens, grid, keys, starts, counts, positions, *,
-                       k, cands_per_seed, max_hits, weight, lookback,
-                       max_dist, diag_slack):
-    """Fused seeding+chaining returning one packed (6, B, H) int32 array
-    (qpos, rpos-bits, strand, valid, f, pred) — single transfer."""
-    hits = seed_hits(rc, lens, grid, keys, starts, counts, positions, k=k,
-                     cands_per_seed=cands_per_seed, max_hits=max_hits)
+def _pack_hits_chain(hits, *, weight, lookback, max_dist, diag_slack):
     f, pred = chain_hits(hits["qpos"], hits["rpos"], hits["strand"],
                          hits["valid"], weight=weight, lookback=lookback,
                          max_dist=max_dist, diag_slack=diag_slack)
@@ -61,6 +51,37 @@ def _seed_chain_packed(rc, lens, grid, keys, starts, counts, positions, *,
         f,
         pred,
     ])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "cands_per_seed", "max_hits", "weight", "lookback",
+                     "max_dist", "diag_slack"))
+def _seed_chain_packed(rc, lens, grid, keys, starts, counts, positions, *,
+                       k, cands_per_seed, max_hits, weight, lookback,
+                       max_dist, diag_slack):
+    """Fused seeding+chaining returning one packed (6, B, H) int32 array
+    (qpos, rpos-bits, strand, valid, f, pred) — single transfer."""
+    hits = seed_hits(rc, lens, grid, keys, starts, counts, positions, k=k,
+                     cands_per_seed=cands_per_seed, max_hits=max_hits)
+    return _pack_hits_chain(hits, weight=weight, lookback=lookback,
+                            max_dist=max_dist, diag_slack=diag_slack)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "cands_per_seed", "max_hits", "weight", "lookback",
+                     "max_dist", "diag_slack", "sa_rate"))
+def _seed_chain_packed_fm(rc, lens, grid, fm_dev, *, k, cands_per_seed,
+                          max_hits, weight, lookback, max_dist, diag_slack,
+                          sa_rate):
+    """FM-index variant (whole-genome path)."""
+    from lamsa_tpu.pipeline.seeding import seed_hits_fm
+    hits = seed_hits_fm(rc, lens, grid, fm_dev, k=k,
+                        cands_per_seed=cands_per_seed, max_hits=max_hits,
+                        sa_rate=sa_rate)
+    return _pack_hits_chain(hits, weight=weight, lookback=lookback,
+                            max_dist=max_dist, diag_slack=diag_slack)
 
 
 def _revcomp_codes(codes: np.ndarray) -> np.ndarray:
@@ -80,17 +101,30 @@ class _PendingPart:
 
 
 class Aligner:
-    def __init__(self, ref: PackedReference, index: KmerIndex,
+    """index: a KmerIndex (small/medium genomes) or FmIndex
+    (whole-genome; ~2.3 GB HBM for GRCh38 vs ~13 GB of position
+    tables)."""
+
+    def __init__(self, ref: PackedReference, index,
                  config: AlignConfig | None = None):
+        from lamsa_tpu.index.fmindex import FmIndex
         self.ref = ref
         self.index = index
         self.config = config or AlignConfig()
-        self._dev = {
-            "keys": jnp.asarray(index.keys),
-            "starts": jnp.asarray(index.starts),
-            "counts": jnp.asarray(index.counts),
-            "positions": jnp.asarray(index.positions.astype(np.uint32)),
-        }
+        if isinstance(index, FmIndex):
+            from lamsa_tpu.ops.fm import device_arrays
+            self.seed_backend = "fm"
+            self.k = self.config.kmer
+            self._dev = device_arrays(index)
+        else:
+            self.seed_backend = "kmer"
+            self.k = index.k
+            self._dev = {
+                "keys": jnp.asarray(index.keys),
+                "starts": jnp.asarray(index.starts),
+                "counts": jnp.asarray(index.counts),
+                "positions": jnp.asarray(index.positions.astype(np.uint32)),
+            }
         self._grids = {}
 
     # ------------------------------------------------------------- batching
@@ -156,15 +190,21 @@ class Aligner:
             rc[b, :len(c)] = c
             lens[b] = len(c)
         if L not in self._grids:
-            self._grids[L] = make_qpos_grid(L, self.index.k, cfg.seed_step)
+            self._grids[L] = make_qpos_grid(L, self.k, cfg.seed_step)
         grid = self._grids[L]
-        packed = _seed_chain_packed(
-            rc, lens, grid, self._dev["keys"], self._dev["starts"],
-            self._dev["counts"], self._dev["positions"], k=self.index.k,
-            cands_per_seed=cfg.max_cands_per_seed,
-            max_hits=cfg.max_hits_per_read, weight=self.index.k,
-            lookback=cfg.chain_lookback, max_dist=cfg.chain_max_dist,
-            diag_slack=cfg.chain_diag_slack)
+        common = dict(k=self.k, cands_per_seed=cfg.max_cands_per_seed,
+                      max_hits=cfg.max_hits_per_read, weight=self.k,
+                      lookback=cfg.chain_lookback,
+                      max_dist=cfg.chain_max_dist,
+                      diag_slack=cfg.chain_diag_slack)
+        if self.seed_backend == "kmer":
+            packed = _seed_chain_packed(
+                rc, lens, grid, self._dev["keys"], self._dev["starts"],
+                self._dev["counts"], self._dev["positions"], **common)
+        else:
+            packed = _seed_chain_packed_fm(
+                rc, lens, grid, self._dev, sa_rate=self.index.sa_rate,
+                **common)
         packed = np.asarray(packed)[:, :B]          # (6, B, H) one transfer
         return {
             "qpos": packed[0],
@@ -178,7 +218,7 @@ class Aligner:
     def _build_skeleton(self, h, gi, read_len):
         return build_skeleton(
             h["f"][gi], h["pred"][gi], h["qpos"][gi], h["rpos"][gi],
-            h["strand"][gi], h["valid"][gi], k=self.index.k,
+            h["strand"][gi], h["valid"][gi], k=self.k,
             read_len=read_len, ref=self.ref, config=self.config)
 
     # ------------------------------------------------------- part alignment
@@ -196,7 +236,7 @@ class Aligner:
                 if rc_codes is None:
                     rc_codes = _revcomp_codes(read_codes)
                 qseq = rc_codes
-            blocks = anchors_to_blocks(part.anchors, self.index.k)
+            blocks = anchors_to_blocks(part.anchors, self.k)
             if len(blocks) == 0:
                 continue
 

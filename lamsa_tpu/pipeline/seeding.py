@@ -117,3 +117,64 @@ def make_qpos_grid(bucket_len: int, k: int, step: int):
     import numpy as np
     n = max(1, (bucket_len - k) // step + 1)
     return np.arange(n, dtype=np.int32) * step
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cands_per_seed",
+                                             "max_hits", "sa_rate"))
+def seed_hits_fm(read_codes, read_len, qpos_grid, fm, *, k, cands_per_seed,
+                 max_hits, sa_rate):
+    """FM-index variant of seed_hits: same window extraction, same hit
+    packing/sorting contract, but candidate loci come from on-device
+    backward search + value-sampled SA resolution (ops/fm.py) instead of
+    the sorted k-mer table — the whole-genome path (HBM ~2.3 GB for
+    GRCh38 vs ~13 GB of position tables)."""
+    from lamsa_tpu.ops import fm as fmops
+
+    B, L = read_codes.shape
+    S = qpos_grid.shape[0]
+    C = cands_per_seed
+
+    win_idx = qpos_grid[:, None] + jnp.arange(k)[None, :]
+    win = read_codes[:, win_idx]                                  # (B, S, k)
+    win_ok = jnp.all(win < 4, axis=2) & (
+        (qpos_grid[None, :] + k) <= read_len[:, None])
+
+    win_rc = (3 - win[:, :, ::-1]) & 3                            # revcomp
+
+    lo_f, hi_f = fmops.backward_search(win, win_ok, fm, k)
+    lo_r, hi_r = fmops.backward_search(win_rc, win_ok, fm, k)
+
+    offs = jnp.arange(C, dtype=jnp.uint32)[None, None, :]
+
+    def cands(lo, hi):
+        rows = lo[:, :, None] + offs
+        ok = rows < hi[:, :, None]
+        pos = fmops.resolve_rows(rows, ok, fm, sa_rate)
+        return pos, ok
+
+    pos_f, ok_f = cands(lo_f, hi_f)
+    pos_r, ok_r = cands(lo_r, hi_r)
+
+    qp_f = jnp.broadcast_to(qpos_grid[None, :, None], (B, S, C)
+                            ).astype(jnp.int32)
+    qp_r = read_len[:, None, None] - qp_f - k
+
+    def k1(qp, strand, ok):
+        v = (jnp.int32(strand) << _QPOS_BITS) | qp
+        return jnp.where(ok, v, INVALID_K1)
+
+    key1 = jnp.concatenate(
+        [k1(qp_f, 0, ok_f).reshape(B, S * C),
+         k1(qp_r, 1, ok_r).reshape(B, S * C)], axis=1)
+    key2 = jnp.concatenate(
+        [pos_f.reshape(B, S * C), pos_r.reshape(B, S * C)], axis=1)
+
+    key1, key2 = jax.lax.sort((key1, key2), dimension=1, num_keys=2)
+    key1 = key1[:, :max_hits]
+    key2 = key2[:, :max_hits]
+
+    valid = key1 < INVALID_K1
+    qpos = jnp.where(valid, key1 & ((1 << _QPOS_BITS) - 1), 0)
+    strand = jnp.where(valid, key1 >> _QPOS_BITS, 0)
+    rpos = jnp.where(valid, key2, jnp.uint32(0))
+    return {"qpos": qpos, "rpos": rpos, "strand": strand, "valid": valid}
