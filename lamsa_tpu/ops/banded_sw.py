@@ -86,7 +86,9 @@ def _dp_tb_fused(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
     g, te, te_d = extract_scores(res["h_last"], m_len, n_len, lo)
     best = res["best"]
     te_j = m_len + lo + te_d
-    use_te = (te > NEG_INF) & (te >= best[:, 0] - bonus)
+    # reachability guard: dead last rows floor at -30000 (int16 engine)
+    # or NEG_INF (int32); legitimate scores are always > -29000
+    use_te = (te > -29000) & (te >= best[:, 0] - bonus)
     si_ext = jnp.where(use_te, m_len, best[:, 1])
     sj_ext = jnp.where(use_te, te_j, best[:, 1] + lo + best[:, 2])
     sc_ext = jnp.where(use_te, te, best[:, 0])

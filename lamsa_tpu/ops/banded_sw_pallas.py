@@ -25,8 +25,11 @@ Mosaic TPU constraints shape two details:
     Packed form is also what the native traceback consumes — 1/4 the
     HBM->host traffic of byte dirs.
 
-Score lanes are int32 for now; int16 packing is a planned optimization
-(BASELINE.json "int8/int16 score lanes").
+Score lanes are int32; the int16 variant (score_dtype="int16",
+G=16 tiles) is implemented and correctness-tested but blocked on this
+toolchain — Mosaic has no sub-32-bit tpu.dynamic_rotate lowering, and
+rolls dominate this kernel. BASELINE.json's "int8/int16 score lanes"
+target resumes when the compiler supports it.
 """
 
 from __future__ import annotations
@@ -60,95 +63,105 @@ def _shift_left(x, s, fill, lanes, W):
 def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref,
             dirs_ref, hlast_ref, best_ref,
             h_scr, f_scr, hlast_scr, best_scr, wa_scr, *,
-            match, mismatch, gapo, gape, G, W, RB, n_row_blocks):
+            match, mismatch, gapo, gape, G, W, RB, n_row_blocks, DT, NEG):
     rb = pl.program_id(1)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
+    lanes_s = lanes.astype(DT)          # score-space lane index (<= W-1)
     lo = lo_ref[:, 0][:, None]
     m = mlen_ref[:, 0][:, None]
     n = nlen_ref[:, 0][:, None]
+    match_s = DT(match)
+    mismatch_s = DT(-mismatch)
 
     @pl.when(rb == 0)
     def _init():
         j0 = lo + lanes
-        h0 = jnp.where(j0 == 0, 0,
+        h0 = jnp.where(j0 == 0, DT(0),
                        jnp.where((j0 >= 1) & (j0 <= n),
-                                 -(gapo + j0 * gape), NEG_INF))
+                                 (-(gapo + j0 * gape)).astype(DT), NEG))
         h_scr[:] = h0
-        f_scr[:] = jnp.full((G, W), NEG_INF, jnp.int32)
-        hlast_scr[:] = jnp.where(m == 0, h0, NEG_INF)
-        bs = jnp.max(h0, axis=1, keepdims=True)
-        bd = jnp.min(jnp.where(h0 == bs, lanes, W), axis=1, keepdims=True)
+        f_scr[:] = jnp.full((G, W), NEG, DT)
+        hlast_scr[:] = jnp.where(m == 0, h0, NEG)
+        h032 = h0.astype(jnp.int32)       # Mosaic: no int16 reductions
+        bs = jnp.max(h032, axis=1, keepdims=True)
+        bd = jnp.min(jnp.where(h032 == bs, lanes, W), axis=1,
+                     keepdims=True)
         col = jax.lax.broadcasted_iota(jnp.int32, (G, 8), 1)
         best_scr[:] = jnp.where(col == 0, bs,
                                 jnp.where(col == 2, bd, 0))
 
     # Lane-dim dynamic slices must be 128-aligned: slice at the block
-    # start, rotate per row.
+    # start, rotate per row. q/t converted to the score dtype once per
+    # block so per-row rotates run at score-lane width.
     blk0 = pl.multiple_of(rb * RB, 128)
-    q_blk = q_ref[:, pl.ds(blk0, RB)]                       # (G, RB)
+    q_blk = q_ref[:, pl.ds(blk0, RB)].astype(DT)            # (G, RB)
     TK = RB + W
-    t_blk = t_ref[:, pl.ds(blk0, TK)]                       # (G, RB+W)
+    t_blk = t_ref[:, pl.ds(blk0, TK)].astype(DT)            # (G, RB+W)
     sub8 = jax.lax.broadcasted_iota(jnp.int32, (G, _WORDS_PER_STORE, W), 1)
 
     def row_compute(r):
-        """One DP row; returns the packed direction nibble (G, W)."""
+        """One DP row; returns the packed direction nibble (G, W) i32."""
         i = rb * RB + r + 1
         h_prev = h_scr[:]
         f_prev = f_scr[:]
 
-        h_up = _shift_left(h_prev, 1, NEG_INF, lanes, W)
-        f_up = _shift_left(f_prev, 1, NEG_INF, lanes, W)
+        h_up = _shift_left(h_prev, 1, NEG, lanes, W)
+        f_up = _shift_left(f_prev, 1, NEG, lanes, W)
         f_ext_bit = f_up >= h_up - gapo
-        f_cur = jnp.maximum(jnp.maximum(h_up - gapo, f_up) - gape, NEG_INF)
+        f_cur = jnp.maximum(jnp.maximum(h_up - gapo, f_up) - gape, NEG)
 
         qc = pltpu.roll(q_blk, RB - r, axis=1)[:, 0:1]      # (G,1) = q[i-1]
         tc = pltpu.roll(t_blk, TK - r, axis=1)[:, :W]       # (G,W) t window
-        s = jnp.where((qc == tc) & (qc < 4) & (tc < 4), match, -mismatch)
-        diag = jnp.maximum(h_prev + s, NEG_INF)
+        s = jnp.where((qc == tc) & (qc < 4) & (tc < 4), match_s, mismatch_s)
+        diag = jnp.maximum(h_prev + s, NEG)
 
         j = i + lo + lanes
         valid = (j >= 0) & (j <= n)
-        h_nogap = jnp.where(valid, jnp.maximum(diag, f_cur), NEG_INF)
+        h_nogap = jnp.where(valid, jnp.maximum(diag, f_cur), NEG)
 
-        v = h_nogap + lanes * gape
+        v = h_nogap + lanes_s * DT(gape)
         p = v
         sft = 1
         while sft < W:
-            p = jnp.maximum(p, _shift_right(p, sft, NEG_INF, lanes))
+            p = jnp.maximum(p, _shift_right(p, sft, NEG, lanes))
             sft *= 2
-        p_excl = _shift_right(p, 1, NEG_INF, lanes)
+        p_excl = _shift_right(p, 1, NEG, lanes)
         e_cur = jnp.where(valid & (j >= 1),
-                          jnp.maximum(p_excl - lanes * gape - gapo, NEG_INF),
-                          NEG_INF)
-        e_ext_bit = _shift_right((v <= p_excl).astype(jnp.int32), 1, 0,
-                                 lanes)
+                          jnp.maximum(p_excl - lanes_s * DT(gape) - gapo,
+                                      NEG),
+                          NEG)
+        e_ext_bit = _shift_right((v <= p_excl).astype(DT), 1,
+                                 DT(0), lanes)
 
-        diag_m = jnp.where(valid, diag, NEG_INF)
-        f_m = jnp.where(valid, f_cur, NEG_INF)
+        diag_m = jnp.where(valid, diag, NEG)
+        f_m = jnp.where(valid, f_cur, NEG)
         h = diag_m
-        src = jnp.zeros((G, W), jnp.int32)
-        src = jnp.where(e_cur > h, 1, src)
+        src = jnp.zeros((G, W), DT)
+        src = jnp.where(e_cur > h, DT(1), src)
         h = jnp.maximum(h, e_cur)
-        src = jnp.where(f_m > h, 2, src)
+        src = jnp.where(f_m > h, DT(2), src)
         h = jnp.maximum(h, f_m)
 
         in_rows = i <= m                                    # (G, 1)
         live = in_rows & valid
-        h = jnp.where(live, h, NEG_INF)
-        f_m = jnp.where(live, f_m, NEG_INF)
+        h = jnp.where(live, h, NEG)
+        f_m = jnp.where(live, f_m, NEG)
 
-        d_byte = src | (e_ext_bit << 2) | (f_ext_bit.astype(jnp.int32) << 3)
+        d_byte = (src.astype(jnp.int32)
+                  | (e_ext_bit.astype(jnp.int32) << 2)
+                  | (f_ext_bit.astype(jnp.int32) << 3))
         d_byte = jnp.where(live, d_byte, 0)
 
         hlast_scr[:] = jnp.where(i == m, h, hlast_scr[:])
 
-        rmax = jnp.max(h, axis=1, keepdims=True)
-        rarg = jnp.min(jnp.where(h == rmax, lanes, W), axis=1,
+        h32 = h.astype(jnp.int32)         # Mosaic: no int16 reductions
+        rmax32 = jnp.max(h32, axis=1, keepdims=True)
+        rarg = jnp.min(jnp.where(h32 == rmax32, lanes, W), axis=1,
                        keepdims=True)
         best = best_scr[:]
-        improve = rmax > best[:, 0:1]
+        improve = rmax32 > best[:, 0:1]
         col = jax.lax.broadcasted_iota(jnp.int32, (G, 8), 1)
-        new = jnp.where(col == 0, rmax,
+        new = jnp.where(col == 0, rmax32,
                         jnp.where(col == 1, i,
                                   jnp.where(col == 2, rarg, 0)))
         best_scr[:] = jnp.where(improve, new, best)
@@ -186,16 +199,26 @@ def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref,
 
     @pl.when(rb == n_row_blocks - 1)
     def _fin():
-        hlast_ref[:] = hlast_scr[:]
+        hlast_ref[:] = hlast_scr[:].astype(jnp.int32)
         best_ref[:] = best_scr[:]
+
+
+NEG_INF16 = -30000      # int16 floor; live-path scores stay >> above it
 
 
 @functools.partial(jax.jit, static_argnames=("match", "mismatch", "gapo",
                                              "gape", "with_dirs",
-                                             "instance_tile", "interpret"))
+                                             "instance_tile", "interpret",
+                                             "score_dtype"))
 def banded_sw_pallas(q, t_win, m_len, n_len, lo, *, match, mismatch, gapo,
-                     gape, with_dirs=True, instance_tile=8,
-                     interpret=False):
+                     gape, with_dirs=True, instance_tile=None,
+                     interpret=False, score_dtype="int32"):
+    # NOTE: score_dtype="int16" is implemented and bit-exact in
+    # interpret mode, but this environment's Mosaic rejects it at
+    # compile time ("Rotate with non-32-bit data" — tpu.dynamic_rotate
+    # has no sub-32-bit lowering yet), and lane rotations are this
+    # kernel's dominant op. Re-enable as default when Mosaic grows
+    # 16-bit rotates; expected ~2x cells/s.
     """Pallas TPU implementation of ops.banded_sw_xla.banded_sw_batch
     (same h_last/best contract and the same direction-byte semantics,
     but direction bytes come back packed 4-rows-per-int32 under key
@@ -203,7 +226,12 @@ def banded_sw_pallas(q, t_win, m_len, n_len, lo, *, match, mismatch, gapo,
     traceback does). Batch B must be a multiple of instance_tile."""
     B, M = q.shape
     W = t_win.shape[1] - M
-    G = instance_tile
+    if score_dtype == "int16":
+        DT, NEG = np.int16, np.int16(NEG_INF16)
+        G = instance_tile or 16      # int16 native sublane tile is 16
+    else:
+        DT, NEG = np.int32, np.int32(NEG_INF)
+        G = instance_tile or 8
     assert B % G == 0, f"batch {B} not a multiple of instance tile {G}"
     RB = 128          # lane alignment: dynamic rotate needs 128 multiples
     assert M % RB == 0, f"M={M} must be a multiple of {RB}"
@@ -212,7 +240,7 @@ def banded_sw_pallas(q, t_win, m_len, n_len, lo, *, match, mismatch, gapo,
 
     kernel = functools.partial(
         _kernel, match=match, mismatch=mismatch, gapo=gapo, gape=gape,
-        G=G, W=W, RB=RB, n_row_blocks=n_row_blocks)
+        G=G, W=W, RB=RB, n_row_blocks=n_row_blocks, DT=DT, NEG=NEG)
 
     scalar_spec = pl.BlockSpec((G, 1), lambda ib, rb: (ib, 0),
                                memory_space=pltpu.VMEM)
@@ -241,9 +269,9 @@ def banded_sw_pallas(q, t_win, m_len, n_len, lo, *, match, mismatch, gapo,
             jax.ShapeDtypeStruct((B, 8), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((G, W), jnp.int32),
-            pltpu.VMEM((G, W), jnp.int32),
-            pltpu.VMEM((G, W), jnp.int32),
+            pltpu.VMEM((G, W), DT),
+            pltpu.VMEM((G, W), DT),
+            pltpu.VMEM((G, W), DT),
             pltpu.VMEM((G, 8), jnp.int32),
             pltpu.VMEM((G, _WORDS_PER_STORE, W), jnp.int32),
         ],

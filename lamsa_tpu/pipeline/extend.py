@@ -230,7 +230,7 @@ class DpBatcher:
                                      int(best[b, 2]))
                 te_score = int(out["te_score"][b])
                 te_j = m + lo_b + int(out["te_d"][b])
-                if te_score > NEG_INF and te_score >= b_score - inst["bonus"]:
+                if te_score > -29000 and te_score >= b_score - inst["bonus"]:
                     i, j, sc = m, te_j, te_score
                 else:
                     i, j, sc = b_i, b_i + lo_b + b_d, b_score

@@ -45,14 +45,19 @@ def make_batch(rng, B, M, W, n_range=(8, None)):
 
 @pytest.mark.parametrize("M,W", [(128, 128), (256, 256), (512, 256)])
 def test_pallas_interpret_matches_xla(rng, M, W):
-    B = 8
+    B = 16
     q, t_win, m_len, n_len, lo = make_batch(rng, B, M, W)
     kw = dict(match=S.match, mismatch=S.mismatch, gapo=S.gap_open,
               gape=S.gap_ext)
     ref = banded_sw_batch(q, t_win, m_len, n_len, lo, **kw)
     got = banded_sw_pallas(q, t_win, m_len, n_len, lo, interpret=True, **kw)
-    np.testing.assert_array_equal(np.asarray(got["h_last"]),
-                                  np.asarray(ref["h_last"]))
+    # int16 engine floors dead lanes at -30000 vs the int32 spec's -2^29;
+    # live scores are far above either floor — compare through a common
+    # floor (shared contract: only in-band values are meaningful)
+    FLOOR = -20000
+    np.testing.assert_array_equal(
+        np.maximum(np.asarray(got["h_last"]), FLOOR),
+        np.maximum(np.asarray(ref["h_last"]), FLOOR))
     np.testing.assert_array_equal(np.asarray(got["best"]),
                                   np.asarray(ref["best"]))
     got_dirs = unpack_dirs(np.asarray(got["dirs32"]))
@@ -66,7 +71,7 @@ def test_pallas_interpret_matches_xla(rng, M, W):
 
 
 def test_pallas_interpret_empty_and_padded(rng):
-    B, M, W = 8, 128, 128
+    B, M, W = 16, 128, 128
     q, t_win, m_len, n_len, lo = make_batch(rng, B, M, W)
     # instance 3: empty query; instance 5: m_len 1
     m_len[3], n_len[3], lo[3] = 0, 5, 0
@@ -75,8 +80,10 @@ def test_pallas_interpret_empty_and_padded(rng):
               gape=S.gap_ext)
     ref = banded_sw_batch(q, t_win, m_len, n_len, lo, **kw)
     got = banded_sw_pallas(q, t_win, m_len, n_len, lo, interpret=True, **kw)
-    np.testing.assert_array_equal(np.asarray(got["h_last"]),
-                                  np.asarray(ref["h_last"]))
+    FLOOR = -20000
+    np.testing.assert_array_equal(
+        np.maximum(np.asarray(got["h_last"]), FLOOR),
+        np.maximum(np.asarray(ref["h_last"]), FLOOR))
     got_dirs = unpack_dirs(np.asarray(got["dirs32"]))
     ref_dirs = np.asarray(ref["dirs"])
     for b in range(B):

@@ -67,7 +67,7 @@ def test_native_decode_steps_matches_python(rng):
     from tests.test_banded_sw_pallas import make_batch
     from tests.test_traceback_pallas import pack_dirs
 
-    B, M, W = 8, 128, 128
+    B, M, W = 16, 128, 128
     q, t_win, m_len, n_len, lo = make_batch(rng, B, M, W)
     res = banded_sw_batch(q, t_win, m_len, n_len, lo, match=S.match,
                           mismatch=S.mismatch, gapo=S.gap_open,
@@ -102,7 +102,7 @@ def test_native_decode_steps16_matches_python(rng):
     from tests.test_banded_sw_pallas import make_batch
     from tests.test_traceback_pallas import pack_dirs
 
-    B, M, W = 8, 128, 128
+    B, M, W = 16, 128, 128
     q, t_win, m_len, n_len, lo = make_batch(rng, B, M, W)
     res = banded_sw_batch(q, t_win, m_len, n_len, lo, match=S.match,
                           mismatch=S.mismatch, gapo=S.gap_open,

@@ -26,7 +26,7 @@ def pack_dirs(dirs_u8: np.ndarray) -> np.ndarray:
 
 
 def test_traceback_global_matches_host(rng):
-    B, M, W = 8, 128, 128
+    B, M, W = 16, 128, 128
     q, t_win, m_len, n_len, lo = make_batch(rng, B, M, W)
     res = banded_sw_batch(q, t_win, m_len, n_len, lo, **KW)
     dirs = np.asarray(res["dirs"])
@@ -45,7 +45,7 @@ def test_traceback_global_matches_host(rng):
 
 
 def test_traceback_extend_and_edge_cases(rng):
-    B, M, W = 8, 128, 128
+    B, M, W = 16, 128, 128
     q, t_win, m_len, n_len, lo = make_batch(rng, B, M, W)
     res = banded_sw_batch(q, t_win, m_len, n_len, lo, **KW)
     dirs = np.asarray(res["dirs"])
