@@ -92,7 +92,8 @@ def cmd_aln(args) -> int:
                          end_bonus=cfg.scores.end_bonus)
     cfg = cfg.replace(scores=scores, seed_step=args.seed_step,
                       batch_reads=args.batch_reads,
-                      band_width=args.band_width)
+                      band_width=args.band_width, threads=args.threads,
+                      rg_id=args.rg)
 
     out = open(args.output, "w") if args.output else sys.stdout
     cl = " ".join(sys.argv[1:])
@@ -153,6 +154,7 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("-w", "--band-width", type=int, default=64)
     pa.add_argument("-s", "--seed-step", type=int, default=20)
     pa.add_argument("--batch-reads", type=int, default=512)
+    pa.add_argument("-R", "--rg", default=None, help="read group id")
     pa.set_defaults(func=cmd_aln)
     return p
 

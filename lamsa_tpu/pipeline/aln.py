@@ -163,9 +163,22 @@ class Aligner:
             batcher.run()
 
         with STATS.stage("finalize_host"):
-            for ri, parts, sk in pending:
-                out[ri] = self._finalize_read(reads[ri], codes[ri], parts,
-                                              sk, batcher)
+            if cfg.threads > 1:
+                # host worker pool over reads — the reference's pthread
+                # model (SURVEY.md section 2b); ctypes/numpy calls drop
+                # the GIL so finalize overlaps across threads
+                import concurrent.futures as cf
+                with cf.ThreadPoolExecutor(cfg.threads) as pool:
+                    futs = {
+                        ri: pool.submit(self._finalize_read, reads[ri],
+                                        codes[ri], parts, sk, batcher)
+                        for ri, parts, sk in pending}
+                    for ri, fut in futs.items():
+                        out[ri] = fut.result()
+            else:
+                for ri, parts, sk in pending:
+                    out[ri] = self._finalize_read(reads[ri], codes[ri],
+                                                  parts, sk, batcher)
         STATS.count("reads", len(reads))
         return out
 
@@ -315,10 +328,13 @@ class Aligner:
                     rc_qual = read.qual[::-1] if read.qual else None
                 seq, qual = rc_seq, rc_qual
             sid, local_pos = self.ref.global_to_local(fr["pos"])
+            tags = {"NM": fr["nm"], "AS": fr["score"]}
+            if cfg.rg_id:
+                tags["RG"] = cfg.rg_id
             records.append(SamRecord(
                 qname=read.name, flag=flag, rname=self.ref.names[sid],
                 pos=local_pos, mapq=fr["mapq"], cigar=fr["cigar"], seq=seq,
-                qual=qual, tags={"NM": fr["nm"], "AS": fr["score"]}))
+                qual=qual, tags=tags))
         if len(records) > 1:
             for i, rec in enumerate(records):
                 others = [r.sa_item() for j, r in enumerate(records)
