@@ -32,9 +32,10 @@ def random_genome(rng: np.random.Generator, length: int,
     probs = np.array([p_at, p_gc, p_gc, p_at])
     out = []
     per = length // n_seqs
+    base_bytes = np.frombuffer(b"ACGT", np.uint8)
     for i in range(n_seqs):
         codes = rng.choice(_BASE_IDX, size=per, p=probs)
-        seq = "".join(BASES[c] for c in codes)
+        seq = base_bytes[codes].tobytes().decode()
         out.append(FastxRecord(name=f"chr{i + 1}", seq=seq))
     return out
 
