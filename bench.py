@@ -122,7 +122,7 @@ def bench_kernel():
     return g
 
 
-def cpu_baseline(n_reads=128):
+def cpu_baseline(n_reads=64):
     """Same pipeline on the CPU engine, in a subprocess (this VM's
     sitecustomize pins the TPU backend; only jax.config can override)."""
     if os.path.exists(_CPU_CACHE):
@@ -217,21 +217,27 @@ def main():
     agreement = sam_agreement(ref, idx, cfg, reads, tpu_out)
     cpu_rps = cpu_baseline()
 
-    # 10 kb working point (BASELINE.json primary metric context)
-    from lamsa_tpu import sim
-    rng10 = np.random.default_rng(SEED + 1)
-    reads10 = sim.simulate_reads(rng10, genome, 128,
-                                 read_len=(9000, 11000), sub=0.02,
-                                 ins=0.04, dele=0.04, sv_fraction=0.15)
-    from lamsa_tpu.eval import evaluate
-    from lamsa_tpu.pipeline.aln import Aligner
-    a10 = Aligner(ref, idx, cfg)
-    a10.align_batch(reads10[:64])           # warm the 16k bucket
-    t0 = time.time()
-    out10 = a10.align_batch(reads10[64:])
-    rps10 = (len(reads10) - 64) / (time.time() - t0)
-    st10 = evaluate(out10, reads10[64:])
-    log(f"10kb: {rps10:.1f} reads/s; {st10.summary()}")
+    # 10 kb working point (BASELINE.json primary metric context);
+    # best-effort — never allowed to break the primary metric line
+    rps10, recall10 = 0.0, 0.0
+    try:
+        from lamsa_tpu import sim
+        rng10 = np.random.default_rng(SEED + 1)
+        reads10 = sim.simulate_reads(rng10, genome, 128,
+                                     read_len=(9000, 11000), sub=0.02,
+                                     ins=0.04, dele=0.04, sv_fraction=0.15)
+        from lamsa_tpu.eval import evaluate
+        from lamsa_tpu.pipeline.aln import Aligner
+        a10 = Aligner(ref, idx, cfg)
+        a10.align_batch(reads10[:64])       # warm the 16k bucket
+        t0 = time.time()
+        out10 = a10.align_batch(reads10[64:])
+        rps10 = (len(reads10) - 64) / (time.time() - t0)
+        st10 = evaluate(out10, reads10[64:])
+        recall10 = st10.part_recall
+        log(f"10kb: {rps10:.1f} reads/s; {st10.summary()}")
+    except Exception as e:  # noqa: BLE001
+        log(f"10kb section failed ({e}); continuing")
 
     result = {
         "metric": "e2e_reads_per_s_per_chip",
@@ -244,7 +250,7 @@ def main():
         "sam_agreement_tpu_vs_cpu_engine": round(agreement, 4),
         "cpu_engine_reads_per_s": round(cpu_rps, 2),
         "reads_per_s_10kb": round(rps10, 2),
-        "part_recall_10kb": round(st10.part_recall, 4),
+        "part_recall_10kb": round(recall10, 4),
         "baseline_note": "reference LAMSA binary unavailable (empty "
                          "mount); baseline = this framework's CPU engine "
                          "on the same workload",
