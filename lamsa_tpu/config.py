@@ -93,14 +93,16 @@ def preset(name: str) -> AlignConfig:
     that re-tune scoring and seeding (SURVEY.md section 1)."""
     base = AlignConfig()
     if name in ("pacbio", "pb", "clr"):
-        # High indel rate: cheaper gaps, denser seeds.
+        # High indel rate: cheaper gaps, denser seeds (at ~10% error a
+        # clean 13-mer lands every ~4 windows; step 10 keeps short SV
+        # parts above the chain score threshold).
         return base.replace(
             scores=ScoreParams(match=1, mismatch=3, gap_open=2, gap_ext=1),
-            kmer=13, seed_step=20)
+            kmer=13, seed_step=10)
     if name in ("ont", "ont2d", "nanopore"):
         return base.replace(
             scores=ScoreParams(match=1, mismatch=3, gap_open=2, gap_ext=1),
-            kmer=13, seed_step=20)
+            kmer=13, seed_step=10)
     if name in ("default", "hifi", "ccs"):
         return base
     raise ValueError(f"unknown preset: {name!r}")
