@@ -93,24 +93,52 @@ def cmd_aln(args) -> int:
     cfg = cfg.replace(scores=scores, seed_step=args.seed_step,
                       batch_reads=args.batch_reads,
                       band_width=args.band_width, threads=args.threads,
-                      rg_id=args.rg)
+                      rg_id=args.rg, emit_md=args.md)
 
-    out = open(args.output, "w") if args.output else sys.stdout
-    cl = " ".join(sys.argv[1:])
-    print(sam_header(ref, f"lamsa_tpu aln {cl}", rg_id=cfg.rg_id), file=out)
+    # --- resume support (SURVEY.md section 5: per-batch read-stream
+    # cursor): the .progress sidecar records reads fully written; on
+    # --resume we skip that many input reads and append.
+    skip = 0
+    prog_path = (args.output + ".progress") if args.output else None
+    if args.resume and args.output and os.path.exists(args.output) \
+            and prog_path and os.path.exists(prog_path):
+        with open(prog_path) as fh:
+            skip = int(fh.read().strip() or 0)
+        print(f"[lamsa_tpu aln] resuming after {skip} reads",
+              file=sys.stderr)
+        out = open(args.output, "a")
+    else:
+        args.resume = False
+        out = open(args.output, "w") if args.output else sys.stdout
+        cl = " ".join(sys.argv[1:])
+        print(sam_header(ref, f"lamsa_tpu aln {cl}", rg_id=cfg.rg_id),
+              file=out)
+
+    def read_stream():
+        for i, r in enumerate(read_fastx(args.reads)):
+            if i >= skip:
+                yield r
 
     t0 = time.time()
     n_reads = 0
     n_records = 0
-    for recs in align_reads(ref, index, read_fastx(args.reads), cfg):
+    for recs in align_reads(ref, index, read_stream(), cfg):
         n_reads += 1
         for rec in recs:
             print(format_sam_record(rec), file=out)
             n_records += 1
+        if n_reads % cfg.batch_reads == 0:
+            out.flush()
+            if prog_path:
+                with open(prog_path, "w") as fh:
+                    fh.write(str(skip + n_reads))
         if n_reads % 1000 == 0:
             dt = time.time() - t0
             print(f"[lamsa_tpu aln] {n_reads} reads, "
                   f"{n_reads / dt:.1f} reads/s", file=sys.stderr)
+    if prog_path:
+        with open(prog_path, "w") as fh:
+            fh.write(str(skip + n_reads))
     dt = time.time() - t0
     print(f"[lamsa_tpu aln] done: {n_reads} reads -> {n_records} records "
           f"in {dt:.1f}s ({n_reads / max(dt, 1e-9):.1f} reads/s)",
@@ -155,6 +183,9 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("-s", "--seed-step", type=int, default=10)
     pa.add_argument("--batch-reads", type=int, default=512)
     pa.add_argument("-R", "--rg", default=None, help="read group id")
+    pa.add_argument("--md", action="store_true", help="emit MD:Z tags")
+    pa.add_argument("--resume", action="store_true",
+                    help="resume an interrupted run (needs -o)")
     pa.set_defaults(func=cmd_aln)
     return p
 

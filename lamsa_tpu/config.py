@@ -82,6 +82,7 @@ class AlignConfig:
 
     # --- output ---
     rg_id: str | None = None
+    emit_md: bool = False           # MD:Z tags (host-side cost per record)
     report_secondary: bool = False
 
     def replace(self, **kw) -> "AlignConfig":

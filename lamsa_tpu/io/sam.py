@@ -103,7 +103,7 @@ def _format_tag(key: str, value) -> str:
     return f"{key}:Z:{value}"
 
 
-_TAG_ORDER = ("NM", "AS", "XS", "SA", "RG", "tp", "cm")
+_TAG_ORDER = ("NM", "MD", "AS", "XS", "SA", "RG", "tp", "cm")
 
 
 def format_sam_record(rec: SamRecord) -> str:

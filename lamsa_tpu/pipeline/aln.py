@@ -329,6 +329,8 @@ class Aligner:
                 seq, qual = rc_seq, rc_qual
             sid, local_pos = self.ref.global_to_local(fr["pos"])
             tags = {"NM": fr["nm"], "AS": fr["score"]}
+            if fr.get("md"):
+                tags["MD"] = fr["md"]
             if cfg.rg_id:
                 tags["RG"] = cfg.rg_id
             records.append(SamRecord(
@@ -392,8 +394,13 @@ class Aligner:
         from lamsa_tpu import native
         from lamsa_tpu.io.sam import cigar_ref_len
         ref_len = cigar_ref_len(merged)
-        nm = native.nm_from_cigar(qseq[qs_cov:qe_cov],
-                                  self.ref.codes[pos:pos + ref_len], merged)
+        q_win = qseq[qs_cov:qe_cov]
+        t_win = self.ref.codes[pos:pos + ref_len]
+        nm = native.nm_from_cigar(q_win, t_win, merged)
+        md = None
+        if cfg.emit_md:
+            from lamsa_tpu.pipeline.extend import md_tag
+            md = md_tag(q_win, t_win, merged)
 
         cigar = []
         if qs_cov > 0:
@@ -409,8 +416,8 @@ class Aligner:
         else:
             rs, re_ = L - qe_cov, L - qs_cov
         return {"strand": part.strand, "pos": pos, "cigar": cigar,
-                "score": score, "nm": nm, "mapq": mapq, "read_start": rs,
-                "read_end": re_}
+                "score": score, "nm": nm, "md": md, "mapq": mapq,
+                "read_start": rs, "read_end": re_}
 
     def _mapq(self, part, sk) -> int:
         """MAPQ from chain-score margin (our own documented formula; the

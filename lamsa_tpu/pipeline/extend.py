@@ -281,3 +281,38 @@ def compute_nm(q: np.ndarray, t: np.ndarray, cigar) -> int:
         else:  # soft clips consume query only, no edits
             i += ln
     return nm
+
+
+def md_tag(q: np.ndarray, t: np.ndarray, cigar) -> str:
+    """SAM MD:Z tag from the clip-less CIGAR and aligned code windows
+    (q = query window, t = reference window). Matches samtools calmd
+    semantics: match-run lengths, mismatch ref bases, ^-prefixed
+    deletion runs; insertions are invisible to MD."""
+    from lamsa_tpu.io.fasta import BASES
+    out = []
+    run = 0
+    i = j = 0
+    for op, ln in cigar:
+        if op == OP_M:
+            qs, ts = q[i:i + ln], t[j:j + ln]
+            mismatch = (qs != ts) | (qs >= 4) | (ts >= 4)
+            for x in range(ln):
+                if mismatch[x]:
+                    out.append(str(run))
+                    run = 0
+                    out.append(BASES[int(ts[x])])
+                else:
+                    run += 1
+            i += ln
+            j += ln
+        elif op == OP_I:
+            i += ln
+        elif op == OP_D:
+            out.append(str(run))
+            run = 0
+            out.append("^" + "".join(BASES[int(c)] for c in t[j:j + ln]))
+            j += ln
+        else:
+            i += ln
+    out.append(str(run))
+    return "".join(out)

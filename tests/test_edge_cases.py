@@ -80,3 +80,40 @@ def test_read_longer_than_largest_bucket(rng):
     assert not rec.flag & FLAG_UNMAPPED
     assert rec.pos == 1000
     assert cigar_query_len(rec.cigar) == 3000
+
+
+def test_md_tag(rng):
+    from lamsa_tpu.pipeline.aln import Aligner
+    from lamsa_tpu.pipeline.extend import md_tag
+    import numpy as np
+    # unit: known cigar/windows
+    q = np.array([0, 1, 2, 3, 0, 0, 1], np.uint8)       # ACGTAAC
+    t = np.array([0, 1, 1, 3, 2, 0, 1], np.uint8)       # ACCTGAC
+    assert md_tag(q, t, [(0, 7)]) == "2C1G2"            # mism at 2 and 4
+    t2 = np.array([0, 1, 2, 3, 1, 2, 0, 0, 1], np.uint8)
+    # 4M 2D 3M with matches around a CG deletion
+    assert md_tag(np.array([0, 1, 2, 3, 0, 0, 1], np.uint8), t2,
+                  [(0, 4), (2, 2), (0, 3)]) == "4^CG3"
+    # e2e: aligned record carries a consistent MD tag
+    genome, ref, idx = make_ref(rng, 30000)
+    g = genome[0].seq
+    frag = g[5000:5400]
+    frag = frag[:100] + ("A" if frag[100] != "A" else "C") + frag[101:]
+    read = FastxRecord(name="mdread", seq=frag)
+    aligner = Aligner(ref, idx, CFG.replace(emit_md=True))
+    rec = aligner.align_batch([read])[0][0]
+    assert "MD" in rec.tags
+    md = rec.tags["MD"]
+    # MD match-run lengths + deletion runs must sum to the ref length
+    import re as _re
+    total = sum(int(x) for x in _re.findall(r"\d+", md))
+    dels = sum(len(x) - 1 for x in _re.findall(r"\^[ACGTN]+", md))
+    from lamsa_tpu.io.sam import cigar_ref_len
+    core = [(op, ln) for op, ln in rec.cigar if op != 4]
+    assert total + dels + _count_md_mismatches(md) == cigar_ref_len(core)
+
+
+def _count_md_mismatches(md: str) -> int:
+    import re as _re
+    no_dels = _re.sub(r"\^[ACGTN]+", "", md)
+    return len(_re.findall(r"[ACGTN]", no_dels))
