@@ -39,17 +39,6 @@ OP_STEP_I = 1
 OP_INACTIVE = 2
 
 
-def _suffix_or(x, lanes, W):
-    """s[y] = OR of x[z] for z >= y (int32 0/1)."""
-    s = x
-    sft = 1
-    while sft < W:
-        s = jnp.maximum(s, jnp.where(lanes >= W - sft, 0,
-                                     pltpu.roll(s, W - sft, axis=1)))
-        sft *= 2
-    return s
-
-
 def _suffix_and(x, lanes, W):
     """s[y] = AND of x[z] for z >= y (int32 0/1)."""
     s = x
@@ -63,7 +52,7 @@ def _suffix_and(x, lanes, W):
 
 def _kernel(dirs_ref, mlen_ref, lo_ref, si_ref, sd_ref,
             steps_ref, term_ref,
-            oh_scr, flag_scr, acc_scr, wreg_scr, *,
+            flag_scr, acc_scr, wreg_scr, *,
             G, W, M, RB, n_row_blocks):
     rb = pl.program_id(1)                     # 0 = rows [M-RB+1 .. M]
     lanes = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
@@ -73,8 +62,8 @@ def _kernel(dirs_ref, mlen_ref, lo_ref, si_ref, sd_ref,
 
     @pl.when(rb == 0)
     def _init():
-        oh_scr[:] = jnp.zeros((G, W), jnp.int32)
-        # flags: [0] alive, [1] in-F-state; term pre-set for start_i == 0
+        # flags: [0] alive, [1] in-F-state, [2] current lane d;
+        # term pre-set for start_i == 0
         flag_scr[:] = jnp.zeros((G, 8), jnp.int32)
         term0 = jnp.where(start_i == 0, lo + start_d, 0)
         tcol = jax.lax.broadcasted_iota(jnp.int32, (G, 8), 1)
@@ -104,17 +93,17 @@ def _kernel(dirs_ref, mlen_ref, lo_ref, si_ref, sd_ref,
         e_ext = (byte >> 2) & 1
         f_ext = (byte >> 3) & 1
 
-        # ---- activate instances whose start row is r
+        # ---- activate instances whose start row is r. The current
+        # lane is tracked as a per-instance scalar (flags col 2): lane
+        # masks are single broadcast compares instead of one-hot
+        # suffix scans.
         flags = flag_scr[:]
         alive = flags[:, 0:1]
         stateF = flags[:, 1:2]
         starting = (start_i == r) & (alive == 0)
-        oh = jnp.where(starting, (lanes == start_d).astype(jnp.int32),
-                       oh_scr[:])
+        d_scal = jnp.where(starting, start_d, flags[:, 2:3])
         alive = jnp.where(starting, 1, alive)
         stateF = jnp.where(starting, 0, stateF)
-
-        d_scal = jnp.sum(oh * lanes, axis=1, keepdims=True)
 
         # ---- H path: D-run via suffix-AND run from the seed lane
         is_e = (src == 1).astype(jnp.int32)
@@ -123,12 +112,11 @@ def _kernel(dirs_ref, mlen_ref, lo_ref, si_ref, sd_ref,
                                                            axis=1))
         c = jnp.maximum(e_ext_up, is_e)
         # c' = c below d, 1 at/above d
-        ge_d = _suffix_or(oh, lanes, W)       # 1 for y <= d ... see note
-        # ge_d[y] = OR_{z>=y} oh[z] = (y <= d); lt_d[y] = (y < d)
-        lt_d = jnp.where(lanes >= W - 1, 0, pltpu.roll(ge_d, W - 1, axis=1))
+        lt_d = (lanes < d_scal).astype(jnp.int32)
         c_p = jnp.where(lt_d == 1, c, 1)
         sa = _suffix_and(c_p, lanes, W)       # AND of c'[z] for z >= y
-        start_bit = jnp.sum(oh * is_e, axis=1, keepdims=True)
+        start_bit = jnp.sum(
+            jnp.where(lanes == d_scal, is_e, 0), axis=1, keepdims=True)
         emit = jnp.where((lt_d == 1) & (start_bit == 1), sa, 0)
         count_h = jnp.sum(emit, axis=1, keepdims=True) + start_bit
         # NOTE: emit counts lanes y < d; the seed lane d itself also
@@ -144,7 +132,8 @@ def _kernel(dirs_ref, mlen_ref, lo_ref, si_ref, sd_ref,
         h_newF = jnp.where(h_is_m == 1, 0, f_ext_x)
 
         # ---- F path: immediate I step, no D-run
-        f_ext_d = jnp.sum(oh * f_ext, axis=1, keepdims=True)
+        f_ext_d = jnp.sum(
+            jnp.where(lanes == d_scal, f_ext, 0), axis=1, keepdims=True)
         f_op = jnp.full((G, 1), OP_STEP_I, jnp.int32)
         f_newlane = d_scal + 1
         f_newF = f_ext_d
@@ -165,18 +154,18 @@ def _kernel(dirs_ref, mlen_ref, lo_ref, si_ref, sd_ref,
         acc_scr[:] = jnp.where(acc_lanes == idx, word_out, acc_scr[:])
 
         # ---- commit state
-        oh_new = jnp.where(live, (lanes == newlane).astype(jnp.int32), oh)
-        oh_scr[:] = oh_new
+        d_new = jnp.where(live, newlane, d_scal)
         col = jax.lax.broadcasted_iota(jnp.int32, (G, 8), 1)
-        flag_scr[:] = jnp.where(col == 0, alive,
-                                jnp.where(col == 1,
-                                          jnp.where(live, newF, stateF), 0))
+        flag_scr[:] = jnp.where(
+            col == 0, alive,
+            jnp.where(col == 1, jnp.where(live, newF, stateF),
+                      jnp.where(col == 2, d_new, 0)))
 
         # ---- terminal (after processing row 1)
         @pl.when(r == 1)
         def _term():
-            d_end = jnp.sum(oh_scr[:] * lanes, axis=1, keepdims=True)
-            j_end = 1 - 1 + lo + d_end        # row 0: j = 0 + lo + d
+            d_end = d_new
+            j_end = lo + d_end                # row 0: j = 0 + lo + d
             tcol = jax.lax.broadcasted_iota(jnp.int32, (G, 8), 1)
             cur = term_ref[:]
             upd = jnp.where(tcol == 0, j_end,
@@ -241,8 +230,7 @@ def traceback_pallas(dirs32, m_len, n_len, lo, start_i, start_d, *,
             jax.ShapeDtypeStruct((B, 8), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((G, W), jnp.int32),       # one-hot lane
-            pltpu.VMEM((G, 8), jnp.int32),       # flags
+            pltpu.VMEM((G, 8), jnp.int32),       # flags (alive, F, lane)
             pltpu.VMEM((G, RB), jnp.int32),      # row-word accumulator
             pltpu.VMEM((G, 8, W), jnp.int32),    # dirs word registers
         ],
