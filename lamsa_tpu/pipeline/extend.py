@@ -26,16 +26,37 @@ from lamsa_tpu.ops.banded_sw_xla import banded_sw_batch, make_t_window
 from lamsa_tpu.ops.oracle import NEG_INF
 from lamsa_tpu.ops.traceback import traceback_banded
 
-# (max query length, band width) buckets; instances pick the smallest
-# bucket that fits. W=128 lanes for short gaps, 256 for long ones.
-BUCKETS = ((128, 128), (256, 256), (512, 256), (1024, 256), (2048, 256))
+# (max query length, band width) buckets; instances pick the first
+# bucket that fits. Low-drift instances route to W=128 (half the lanes
+# AND one fewer prefix-scan step than W=256); high-drift globals and
+# long extends need the wide band for path slack.
+BUCKETS = ((128, 128), (256, 128), (256, 256), (512, 128), (512, 256),
+           (1024, 256), (2048, 256))
+
+# minimum band slack (per side) around the worst-case drift for a
+# W=128 global instance; thinner would pinch error excursions
+_MIN_SLACK = 24
+
+
+def _bucket_fits(kind: str, m: int, n: int, M: int, W: int) -> bool:
+    if m > M:
+        return False
+    if kind == "global":
+        need = abs(n - m) + 1
+        return need <= W - 16 and (W - need) // 2 >= _MIN_SLACK
+    # extend: caller caps n <= m + EXT_MARGIN; long extensions
+    # accumulate drift, keep them on the wide band
+    return (n - m <= W // 2 - 8) and (W == 256 or m <= 256)
+
 
 # Fixed chunk size per bucket (Pallas path): every kernel call has ONE
 # static shape per bucket, so the whole pipeline compiles a closed set
 # of signatures (remote compiles cost ~a minute per signature here).
 # Padding is nearly free: all-padding instance tiles have max m = 0 and
 # the kernels skip every row group. Sizes bound dirs32 HBM to ~256 MB.
-CHUNK_BY_M = {128: 4096, 256: 2048, 512: 1024, 1024: 512, 2048: 256}
+CHUNK_BY_M = {(128, 128): 4096, (256, 128): 4096, (256, 256): 2048,
+              (512, 128): 2048, (512, 256): 1024, (1024, 256): 512,
+              (2048, 256): 256}
 
 # Extra target bases given to end extensions beyond the query length;
 # must stay below min(W)//2 - 8 so the band reaches the last DP row.
@@ -105,11 +126,7 @@ class DpBatcher:
         for inst in self._inst:
             m, n = len(inst["q"]), len(inst["t"])
             for M, W in BUCKETS:
-                if inst["kind"] == "global":
-                    fits = m <= M and abs(n - m) + 1 <= W - 16
-                else:  # extend: caller caps n <= m + EXT_MARGIN
-                    fits = m <= M and n - m <= W // 2 - 8
-                if fits:
+                if _bucket_fits(inst["kind"], m, n, M, W):
                     key = (M, W)
                     break
             else:
@@ -130,7 +147,7 @@ class DpBatcher:
         launches = []
         for (M, W), insts in sorted(groups.items()):
             insts.sort(key=lambda it: -len(it["q"]))
-            chunk = CHUNK_BY_M[M]
+            chunk = CHUNK_BY_M[(M, W)]
             for c0 in range(0, len(insts), chunk):
                 part = insts[c0:c0 + chunk]
                 if pallas:
@@ -175,7 +192,7 @@ class DpBatcher:
     def _dispatch_pallas(self, insts, M, W):
         from lamsa_tpu.ops.banded_sw import dispatch_group_pallas
         from lamsa_tpu.utils.timers import GLOBAL as STATS
-        Bp = CHUNK_BY_M[M]    # one static shape per bucket
+        Bp = CHUNK_BY_M[(M, W)]   # one static shape per bucket
         with STATS.stage(f"dp_build_{M}x{W}"):
             arrays = self._build_arrays(insts, M, W, Bp)
         q, t_win, m_len, n_len, lo, is_global, bonus = arrays
