@@ -98,6 +98,7 @@ class _PendingPart:
     right_handle: int | None
     o_lo: int
     o_hi: int
+    secondary: bool = False
 
 
 class Aligner:
@@ -242,7 +243,9 @@ class Aligner:
         rc_codes = None
         pend = []
         n_parts = len(sk.parts)
-        for pi, part in enumerate(sk.parts):
+        part_list = list(sk.parts) + list(sk.secondaries)
+        for pi, part in enumerate(part_list):
+            is_secondary = pi >= n_parts
             if part.strand == 0:
                 qseq = read_codes
             else:
@@ -254,8 +257,11 @@ class Aligner:
                 continue
 
             # read-space neighbor bounds -> oriented coords
-            read_lo = sk.parts[pi - 1].read_end if pi > 0 else 0
-            read_hi = sk.parts[pi + 1].read_start if pi < n_parts - 1 else L
+            # (secondaries extend freely within the read)
+            read_lo = sk.parts[pi - 1].read_end \
+                if 0 < pi < n_parts else 0
+            read_hi = sk.parts[pi + 1].read_start \
+                if pi < n_parts - 1 else L
             read_lo = min(read_lo, part.read_start)
             read_hi = max(read_hi, part.read_end)
             if part.strand == 0:
@@ -291,7 +297,8 @@ class Aligner:
                                      gap_handles=gap_handles,
                                      left_handle=left_handle,
                                      right_handle=right_handle,
-                                     o_lo=o_lo, o_hi=o_hi))
+                                     o_lo=o_lo, o_hi=o_hi,
+                                     secondary=is_secondary))
         return pend
 
     def _finalize_read(self, read, read_codes, pend, sk, batcher):
@@ -301,10 +308,11 @@ class Aligner:
             return [unmapped_record(read.name, read.seq, read.qual)]
 
         finals = []
+        seconds = []
         for pp in pend:
             rec = self._finalize_part(pp, read_codes, sk, batcher, L)
             if rec is not None:
-                finals.append(rec)
+                (seconds if pp.secondary else finals).append(rec)
         if not finals:
             return [unmapped_record(read.name, read.seq, read.qual)]
 
@@ -342,6 +350,18 @@ class Aligner:
                 others = [r.sa_item() for j, r in enumerate(records)
                           if j != i]
                 rec.tags["SA"] = ";".join(others) + ";"
+        if sk.alt_score > 0:
+            records[0].tags["XS"] = sk.alt_score
+        # secondary alignments (0x100): rejected overlapping chains
+        from lamsa_tpu.io.sam import FLAG_SECONDARY
+        for fr in seconds:
+            sid, local_pos = self.ref.global_to_local(fr["pos"])
+            flag = FLAG_SECONDARY | (FLAG_REVERSE if fr["strand"] else 0)
+            tags = {"NM": fr["nm"], "AS": fr["score"]}
+            records.append(SamRecord(
+                qname=read.name, flag=flag, rname=self.ref.names[sid],
+                pos=local_pos, mapq=0, cigar=fr["cigar"], seq="",
+                qual=None, tags=tags))
         if sk.events and any(e["type"] != "gap" for e in sk.events):
             sv = ",".join(e["type"] for e in sk.events if e["type"] != "gap")
             for rec in records:

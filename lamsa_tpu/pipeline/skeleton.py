@@ -42,6 +42,7 @@ class Skeleton:
     parts: list                  # [Part] in read order
     events: list                 # [dict] SV events between adjacent parts
     alt_score: int               # best rejected-chain score (for MAPQ)
+    secondaries: list = dataclasses.field(default_factory=list)  # [Part]
 
 
 def _anchor_read_interval(q, k, strand, read_len):
@@ -53,7 +54,7 @@ def _anchor_read_interval(q, k, strand, read_len):
 
 def backtrack_chains(f, pred, qpos, rpos, strand, valid, *, k, read_len,
                      min_anchors=2, min_score=0, max_chains=8,
-                     max_overlap_frac=0.5):
+                     max_overlap_frac=0.5, keep_secondaries=0):
     """Select chains from sparse-DP output.
 
     Greedy by descending end-score: walk predecessors, skip chains that
@@ -70,6 +71,7 @@ def backtrack_chains(f, pred, qpos, rpos, strand, valid, *, k, read_len,
     used = np.zeros(H, bool)
     covered = np.zeros(read_len + 1, bool)
     parts: list[Part] = []
+    secondaries: list[Part] = []
     alt_score = 0
 
     for end in order:
@@ -107,6 +109,12 @@ def backtrack_chains(f, pred, qpos, rpos, strand, valid, *, k, read_len,
         overlap = int((own_cov & covered).sum())
         if overlap > max_overlap_frac * (re_ - rs) or len(parts) >= max_chains:
             alt_score = max(alt_score, int(f[end]))
+            if len(secondaries) < keep_secondaries:
+                anchors = np.stack([qpos[idxs].astype(np.int64),
+                                    rpos[idxs].astype(np.int64)], axis=1)
+                secondaries.append(Part(strand=st, anchors=anchors,
+                                        score=int(f[end]), read_start=rs,
+                                        read_end=re_))
             continue
         covered |= own_cov
         anchors = np.stack([qpos[idxs].astype(np.int64),
@@ -117,7 +125,7 @@ def backtrack_chains(f, pred, qpos, rpos, strand, valid, *, k, read_len,
     parts = split_parts_on_foreign_gaps(parts, k=k, read_len=read_len,
                                         min_anchors=min_anchors)
     parts.sort(key=lambda p: (p.read_start, p.read_end))
-    return parts, alt_score
+    return parts, alt_score, secondaries
 
 
 def split_parts_on_foreign_gaps(parts, *, k, read_len, min_anchors=2,
@@ -223,13 +231,15 @@ def classify_events(parts, ref, *, sv_min_size=30, sv_max_size=100000):
 
 def build_skeleton(f, pred, qpos, rpos, strand, valid, *, k, read_len, ref,
                    config) -> Skeleton:
-    parts, alt = backtrack_chains(
+    parts, alt, secondaries = backtrack_chains(
         f, pred, qpos, rpos, strand, valid, k=k, read_len=read_len,
         min_anchors=2, min_score=config.chain_min_score * k,
-        max_chains=config.max_chains_per_read)
+        max_chains=config.max_chains_per_read,
+        keep_secondaries=3 if config.report_secondary else 0)
     events = classify_events(parts, ref, sv_min_size=config.sv_min_size,
                              sv_max_size=config.sv_max_size)
-    return Skeleton(parts=parts, events=events, alt_score=alt)
+    return Skeleton(parts=parts, events=events, alt_score=alt,
+                    secondaries=secondaries)
 
 
 def anchors_to_blocks(anchors: np.ndarray, k: int):

@@ -148,3 +148,34 @@ def test_multichrom_and_translocation(rng):
     assert len(mapped) == 2
     assert {r.rname for r in mapped} == {"chr1", "chr2"}
     assert any("translocation" in r.tags.get("sv", "") for r in mapped)
+
+
+def test_secondary_alignments_on_repeat(world):
+    rng, genome, ref, idx = world
+    # read from a duplicated region: build a reference with a repeat
+    import numpy as np
+    from lamsa_tpu.io.fasta import encode_seq
+    from lamsa_tpu.io.sam import FLAG_SECONDARY
+    from lamsa_tpu.index.kmer import KmerIndex
+    from lamsa_tpu.io.refpack import PackedReference
+    from lamsa_tpu.pipeline.aln import Aligner
+    rng2 = np.random.default_rng(77)
+    core = sim.random_genome(rng2, 30000)[0].seq
+    seq = core + core[5000:6000] + core[:2000]   # dup of a 1kb block
+    codes = np.frombuffer(encode_seq(seq), np.uint8)
+    offs = np.zeros(2, np.int64)
+    offs[1] = len(codes)
+    ref2 = PackedReference(names=["rep"], offsets=offs, codes=codes,
+                           amb_runs=np.zeros((0, 2), np.int64))
+    idx2 = KmerIndex.build(codes, 13)
+    read = sim.FastxRecord(name="rep|rep:5200-5800:+:0-600",
+                           seq=core[5200:5800])
+    a2 = Aligner(ref2, idx2, CFG.replace(report_secondary=True))
+    recs = a2.align_batch([read])[0]
+    prim = [r for r in recs if not r.flag & (FLAG_SECONDARY | 0x800)]
+    secs = [r for r in recs if r.flag & FLAG_SECONDARY]
+    assert len(prim) == 1
+    assert len(secs) >= 1, [r.flag for r in recs]
+    assert all(r.mapq == 0 for r in secs)
+    # primary mapq reflects the ambiguity
+    assert prim[0].mapq <= 20

@@ -35,8 +35,8 @@ def make_chain_arrays(chains, H=64, read_len=2000):
 def test_backtrack_single_chain():
     f, pred, qp, rp, st, v = make_chain_arrays(
         [(0, [(i * 20, 1000 + i * 20) for i in range(5)])])
-    parts, alt = backtrack_chains(f, pred, qp, rp, st, v, k=K,
-                                  read_len=2000)
+    parts, alt, _ = backtrack_chains(f, pred, qp, rp, st, v, k=K,
+                                     read_len=2000)
     assert len(parts) == 1
     p = parts[0]
     assert p.n_anchors == 5 and p.strand == 0
@@ -50,8 +50,8 @@ def test_backtrack_rejects_overlapping_weaker_chain():
         (0, [(i * 20, 1000 + i * 20) for i in range(6)]),
         (0, [(i * 20 + 3, 50000 + i * 20) for i in range(3)]),
     ])
-    parts, alt = backtrack_chains(f, pred, qp, rp, st, v, k=K,
-                                  read_len=2000)
+    parts, alt, _ = backtrack_chains(f, pred, qp, rp, st, v, k=K,
+                                     read_len=2000)
     assert len(parts) == 1
     assert int(parts[0].anchors[0, 1]) == 1000
     assert alt == 3 * K        # rejected chain's score recorded for MAPQ
@@ -62,7 +62,8 @@ def test_backtrack_keeps_disjoint_chains():
         (0, [(i * 20, 1000 + i * 20) for i in range(4)]),
         (0, [(500 + i * 20, 90000 + i * 20) for i in range(4)]),
     ])
-    parts, _ = backtrack_chains(f, pred, qp, rp, st, v, k=K, read_len=2000)
+    parts, _, _ = backtrack_chains(f, pred, qp, rp, st, v, k=K,
+                                   read_len=2000)
     assert len(parts) == 2
     assert parts[0].read_start < parts[1].read_start
 
