@@ -179,7 +179,9 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("-B", "--mismatch", type=int, default=3)
     pa.add_argument("-O", "--gap-open", type=int, default=2)
     pa.add_argument("-E", "--gap-ext", type=int, default=1)
-    pa.add_argument("-w", "--band-width", type=int, default=64)
+    pa.add_argument("-w", "--band-width", type=int, default=64,
+                    help="advisory; kernel bands are bucketed "
+                         "(128/256 lanes)")
     pa.add_argument("-s", "--seed-step", type=int, default=10)
     pa.add_argument("--batch-reads", type=int, default=512)
     pa.add_argument("-R", "--rg", default=None, help="read group id")

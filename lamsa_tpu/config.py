@@ -49,9 +49,13 @@ class AlignConfig:
     scores: ScoreParams = dataclasses.field(default_factory=ScoreParams)
 
     # --- seeding ---
-    seed_len: int = 50          # reference default ~50 bp [U]
-    seed_step: int = 25         # seed spacing along the read
-    seed_max_edits: int = 3     # reference default ~3 [U]
+    # The reference matched ~50 bp seeds with <= 3 edits via GEM [U];
+    # the pigeonhole equivalent is exact pieces of length
+    # seed_len // (seed_max_edits + 1) ~= 13 = `kmer`. seed_len and
+    # seed_max_edits document that derivation; `kmer` is what runs.
+    seed_len: int = 50
+    seed_step: int = 25         # seed piece spacing along the read
+    seed_max_edits: int = 3
     kmer: int = 13              # exact piece length for pigeonhole matching
     max_hits_per_kmer: int = 64     # drop k-mers more frequent than this
     max_cands_per_seed: int = 16    # candidate loci kept per seed
@@ -70,9 +74,11 @@ class AlignConfig:
     sv_max_size: int = 100000       # reference jump beyond this -> transloc
 
     # --- extension / banded DP (SURVEY.md section 3.4) ---
-    band_width: int = 64            # half-band; kernel lane width = 128
-    max_gap_fill: int = 2048        # largest gap filled by DP (else split)
-    bucket_sizes: tuple = (64, 128, 256, 512, 1024, 2048)
+    # band widths and gap-size buckets are fixed by the kernel bucket
+    # table (pipeline/extend.BUCKETS: W in {128, 256}, M up to 2048);
+    # band_width is accepted for reference-CLI compatibility and kept
+    # for a future tunable-band kernel
+    band_width: int = 64
 
     # --- batching / parallelism ---
     batch_reads: int = 512          # reads per device batch
