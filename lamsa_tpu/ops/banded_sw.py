@@ -134,53 +134,3 @@ def collect_group_pallas(packed_dev, M):
     sd = packed[:, M2 + 10]
     cigars = native.decode_steps16_batch(steps16, term, si)
     return cigars, score, si, sd
-
-
-def run_group_pallas(q, t_win, m_len, n_len, lo, scores):
-    """Pallas engine + on-device traceback, two phases: the batcher
-    first reads scores, decides start cells, then calls the returned
-    `traceback(start_i, start_d)` ONCE for the whole group; after that
-    `cigar(b, ...)` decodes per instance."""
-    from lamsa_tpu.ops.banded_sw_pallas import banded_sw_pallas
-    from lamsa_tpu.ops.traceback_pallas import traceback_pallas
-
-    B = q.shape[0]
-    G = 8
-    Bp = ((B + G - 1) // G) * G
-    if Bp != B:
-        padw = [(0, Bp - B)]
-        q = np.pad(q, padw + [(0, 0)])
-        t_win = np.pad(t_win, padw + [(0, 0)])
-        m_len = np.pad(m_len, padw)
-        n_len = np.pad(n_len, padw)
-        lo = np.pad(lo, padw)
-
-    res = banded_sw_pallas(q, t_win, m_len, n_len, lo,
-                           match=scores.match, mismatch=scores.mismatch,
-                           gapo=scores.gap_open, gape=scores.gap_ext)
-    g, te, te_d = extract_scores(res["h_last"], m_len, n_len, lo)
-    out = {
-        "global_score": np.asarray(g)[:B],
-        "te_score": np.asarray(te)[:B],
-        "te_d": np.asarray(te_d)[:B],
-        "best": np.asarray(res["best"])[:B],
-    }
-
-    state = {}
-
-    def traceback(start_i: np.ndarray, start_d: np.ndarray):
-        from lamsa_tpu import native
-        si = np.pad(start_i.astype(np.int32), (0, Bp - B))
-        sd = np.pad(start_d.astype(np.int32), (0, Bp - B))
-        steps, term = traceback_pallas(res["dirs32"], m_len, n_len, lo,
-                                       si, sd)
-        state["cigars"] = native.decode_steps_batch(
-            np.asarray(steps), np.asarray(term), si)
-        state["start_i"] = si
-
-    def cigar(b: int, i: int, j: int):
-        # i must equal the start_i passed to traceback() for instance b
-        assert i == int(state["start_i"][b]), "start mismatch"
-        return state["cigars"][b]
-
-    return out, traceback, cigar
