@@ -36,6 +36,10 @@ import os
 import numpy as np
 
 _META = "fm_meta.json"
+# build chunk sizes (module-level so tests can shrink them to
+# exercise chunk boundaries); SSA chunk must be 64-aligned
+_OCC_CHUNK = 64 << 20
+_SSA_CHUNK = 128 << 20
 OCC_RATE = 64                 # fixed (device rank assumes 64-base blocks)
 SA_RATE = 16                  # default; instances carry their own rate
 
@@ -86,29 +90,59 @@ class FmIndex:
         shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
         bwt2 = np.bitwise_or.reduce(b << shifts, axis=1).astype(np.uint32)
 
-        # occ checkpoints every OCC_RATE bwt chars
+        # occ checkpoints every OCC_RATE bwt chars — chunked so genome-
+        # scale builds (GRCh38: n = 3.1e9) avoid (4, n) temporaries
         ncp = n // OCC_RATE + 1
         occ = np.zeros((ncp, 4), np.uint32)
-        onehot = np.zeros((4, n), np.uint32)
-        for c in range(4):
-            onehot[c] = bwt == c
-        cums = np.cumsum(onehot, axis=1)
-        for cp in range(1, ncp):
-            occ[cp] = cums[:, cp * OCC_RATE - 1]
+        CH = _OCC_CHUNK
+        running = np.zeros(4, np.uint64)
+        for s0 in range(0, n, CH):
+            blk = bwt[s0:s0 + CH]
+            cp0 = s0 // OCC_RATE
+            # per-char counts within each OCC_RATE block of this chunk
+            per = np.zeros((4, (len(blk) + OCC_RATE - 1) // OCC_RATE),
+                           np.uint32)
+            for c in range(4):
+                eq = (blk == c).astype(np.uint32)
+                pad = (-len(eq)) % OCC_RATE
+                if pad:
+                    eq = np.concatenate([eq, np.zeros(pad, np.uint32)])
+                per[c] = eq.reshape(-1, OCC_RATE).sum(axis=1)
+            csum = np.cumsum(per, axis=1, dtype=np.uint64) \
+                + running[:, None]
+            hi = min(cp0 + per.shape[1], ncp - 1)
+            occ[cp0 + 1:hi + 1] = csum[:, :hi - cp0].T.astype(np.uint32)
+            running = csum[:, -1]
 
-        # value-sampled SA
+        # value-sampled SA (chunked for the same reason)
         nr = n + 1
-        marked = (sa_full % sa_rate) == 0                  # bool[nr]
         nw = (nr + 31) // 32
-        mk = np.zeros(nw * 32, bool)
-        mk[:nr] = marked
-        bits = mk.reshape(-1, 32).astype(np.uint32)
-        wshift = np.arange(32, dtype=np.uint32)[None, :]
-        ssa_marks = np.bitwise_or.reduce(bits << wshift, axis=1)
-        csum = np.concatenate([[0], np.cumsum(marked)]).astype(np.uint32)
+        ssa_marks = np.zeros(nw, np.uint32)
         ncp2 = nr // 64 + 1
-        ssa_rankcp = csum[np.arange(ncp2) * 64]
-        ssa_pos = sa_full[marked].astype(np.uint32)
+        ssa_rankcp = np.zeros(ncp2, np.uint32)
+        pos_chunks = []
+        total_marks = 0
+        CH2 = _SSA_CHUNK
+        wshift = np.arange(32, dtype=np.uint32)[None, :]
+        for s0 in range(0, nr, CH2):
+            sa_blk = sa_full[s0:s0 + CH2]
+            marked = (sa_blk % sa_rate) == 0
+            pos_chunks.append(sa_blk[marked].astype(np.uint32))
+            pad = (-len(marked)) % 64
+            mk = np.concatenate([marked, np.zeros(pad, bool)]) if pad \
+                else marked
+            bits = mk.reshape(-1, 32).astype(np.uint32)
+            ssa_marks[s0 // 32:s0 // 32 + bits.shape[0]] = \
+                np.bitwise_or.reduce(bits << wshift, axis=1)
+            blk_counts = mk.reshape(-1, 64).sum(axis=1, dtype=np.uint64)
+            csum2 = np.cumsum(blk_counts) + total_marks
+            cp0 = s0 // 64
+            hi2 = min(cp0 + len(blk_counts), ncp2 - 1)
+            ssa_rankcp[cp0 + 1:hi2 + 1] = \
+                csum2[:hi2 - cp0].astype(np.uint32)
+            total_marks = int(csum2[-1])
+        ssa_pos = np.concatenate(pos_chunks) if pos_chunks \
+            else np.zeros(0, np.uint32)
         return cls(n=n, primary=int(primary), counts=counts, C=C,
                    bwt2=bwt2, occ=occ, ssa_marks=ssa_marks,
                    ssa_rankcp=ssa_rankcp, ssa_pos=ssa_pos,

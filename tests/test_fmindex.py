@@ -84,3 +84,21 @@ def test_save_load(tmp_path, world):
         assert np.array_equal(a, b)
     piece = codes[500:515]
     assert fm2.backward_search(piece) == fm.backward_search(piece)
+
+
+def test_chunked_build_matches_unchunked(monkeypatch, rng):
+    """Shrink the build chunk sizes so a 20 kb text spans many chunks;
+    all structures must match the single-chunk build."""
+    from lamsa_tpu.index import fmindex as fmi
+    codes = rng.integers(0, 4, 20000).astype(np.uint8)
+    big = fmi.FmIndex.build(codes)
+    monkeypatch.setattr(fmi, "_OCC_CHUNK", 4096)
+    monkeypatch.setattr(fmi, "_SSA_CHUNK", 8192)
+    small = fmi.FmIndex.build(codes)
+    for name in ["bwt2", "occ", "ssa_marks", "ssa_rankcp", "ssa_pos"]:
+        assert np.array_equal(getattr(big, name), getattr(small, name)), name
+    piece = codes[777:793]
+    assert small.backward_search(piece) == big.backward_search(piece)
+    lo, hi = small.backward_search(piece)
+    assert [small.resolve_row(r) for r in range(lo, hi)] == \
+        [big.resolve_row(r) for r in range(lo, hi)]
