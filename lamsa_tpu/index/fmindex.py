@@ -132,8 +132,12 @@ class FmIndex:
             mk = np.concatenate([marked, np.zeros(pad, bool)]) if pad \
                 else marked
             bits = mk.reshape(-1, 32).astype(np.uint32)
-            ssa_marks[s0 // 32:s0 // 32 + bits.shape[0]] = \
-                np.bitwise_or.reduce(bits << wshift, axis=1)
+            words = np.bitwise_or.reduce(bits << wshift, axis=1)
+            # the 64-alignment pad can produce one all-zero word beyond
+            # the destination when nr % 64 is in [1, 32] — clip it
+            w0 = s0 // 32
+            words = words[:nw - w0]
+            ssa_marks[w0:w0 + len(words)] = words
             blk_counts = mk.reshape(-1, 64).sum(axis=1, dtype=np.uint64)
             csum2 = np.cumsum(blk_counts) + total_marks
             cp0 = s0 // 64

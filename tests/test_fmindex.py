@@ -87,10 +87,13 @@ def test_save_load(tmp_path, world):
 
 
 def test_chunked_build_matches_unchunked(monkeypatch, rng):
-    """Shrink the build chunk sizes so a 20 kb text spans many chunks;
-    all structures must match the single-chunk build."""
+    """Shrink the build chunk sizes so the text spans many chunks; all
+    structures must match the single-chunk build. Length chosen so the
+    final chunk has nr % 64 in [1, 32] (the padded mark word would
+    overflow the bitvector by one word without clipping — the GRCh38
+    3.1e9+1 case)."""
     from lamsa_tpu.index import fmindex as fmi
-    codes = rng.integers(0, 4, 20000).astype(np.uint8)
+    codes = rng.integers(0, 4, 16384 + 64).astype(np.uint8)  # nr%64 == 1
     big = fmi.FmIndex.build(codes)
     monkeypatch.setattr(fmi, "_OCC_CHUNK", 4096)
     monkeypatch.setattr(fmi, "_SSA_CHUNK", 8192)
