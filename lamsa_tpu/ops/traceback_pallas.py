@@ -189,9 +189,22 @@ def _kernel(dirs_ref, mlen_ref, lo_ref, si_ref, sd_ref,
     steps_ref[:] = acc_scr[:]
 
 
+def _pick_tile(B: int) -> int:
+    """Largest instance tile dividing B, <= 128. Measured on TPU v5e:
+    G=128 is ~4.5x faster than G=8 at every production (M, W) shape
+    (the walk is a long scalar-ish dependency chain; wide tiles give
+    the VPU multiple vregs per op to pipeline), and the kernel's VMEM
+    footprint (dirs in-block + word registers) fits at G=128 even for
+    M=2048, W=256."""
+    for G in (128, 64, 32, 16, 8):
+        if B % G == 0:
+            return G
+    return 8
+
+
 @functools.partial(jax.jit, static_argnames=("instance_tile", "interpret"))
 def traceback_pallas(dirs32, m_len, n_len, lo, start_i, start_d, *,
-                     instance_tile=8, interpret=False):
+                     instance_tile=None, interpret=False):
     """Walk dirs32 (int32[B, M/4, W] packed direction words) from
     (start_i, start_d) back to row 0 for every instance.
 
@@ -200,7 +213,7 @@ def traceback_pallas(dirs32, m_len, n_len, lo, start_i, start_d, *,
     """
     B, M4, W = dirs32.shape
     M = M4 * 4
-    G = instance_tile
+    G = instance_tile or _pick_tile(B)
     assert B % G == 0
     RB = 128
     assert M % RB == 0
