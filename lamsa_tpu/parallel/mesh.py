@@ -81,21 +81,38 @@ def banded_dp_step(q, t_win, m_len, n_len, lo, *, match, mismatch, gapo,
 
 
 def full_align_step(mesh: Mesh, batch: dict, index: dict, dp: dict,
-                    config) -> dict:
+                    config, shard_index: bool = False) -> dict:
     """One data-parallel 'training-step equivalent': sharded
     seed -> chain -> banded-DP scoring across the mesh. `batch`/`dp`
-    leading dims are sharded, `index` replicated. Returns device dicts.
+    leading dims are sharded; `index` is replicated per chip, or — with
+    shard_index=True — split into per-chip key ranges with the hit
+    lists exchanged over ICI (parallel/sharded_index.py).
     """
     (rc, rl) = shard_batch(mesh, batch["codes"], batch["len"])
-    (grid, keys, starts, counts, positions) = replicate(
-        mesh, index["grid"], index["keys"], index["starts"],
-        index["counts"], index["positions"])
-    sc = seed_chain_step(
-        rc, rl, grid, keys, starts, counts, positions,
+    chain_kw = dict(
         k=index["k"], cands_per_seed=config.max_cands_per_seed,
         max_hits=config.max_hits_per_read, weight=index["k"],
         lookback=config.chain_lookback, max_dist=config.chain_max_dist,
         diag_slack=config.chain_diag_slack)
+    if shard_index:
+        from lamsa_tpu.index.kmer import KmerIndex
+        from lamsa_tpu.parallel.sharded_index import (
+            place_sharded, seed_chain_step_sharded, shard_kmer_index)
+        kidx = KmerIndex(k=index["k"], keys=np.asarray(index["keys"]),
+                         starts=np.asarray(index["starts"]),
+                         counts=np.asarray(index["counts"]),
+                         positions=np.asarray(index["positions"]))
+        sh = place_sharded(mesh, shard_kmer_index(kidx, mesh.devices.size))
+        (grid,) = replicate(mesh, index["grid"])
+        sc = seed_chain_step_sharded(
+            rc, rl, grid, sh["keys"], sh["starts"], sh["counts"],
+            sh["positions"], mesh=mesh, **chain_kw)
+    else:
+        (grid, keys, starts, counts, positions) = replicate(
+            mesh, index["grid"], index["keys"], index["starts"],
+            index["counts"], index["positions"])
+        sc = seed_chain_step(rc, rl, grid, keys, starts, counts,
+                             positions, **chain_kw)
     (q, t_win, m_len, n_len, lo) = shard_batch(
         mesh, dp["q"], dp["t_win"], dp["m_len"], dp["n_len"], dp["lo"])
     s = config.scores

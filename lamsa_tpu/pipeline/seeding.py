@@ -32,34 +32,17 @@ _QPOS_BITS = 19                       # reads up to 512 kb
 INVALID_K1 = jnp.int32(1 << 24)       # > any strand<<QPOS_BITS | qpos
 
 
-@functools.partial(jax.jit, static_argnames=("k", "cands_per_seed",
-                                             "max_hits"))
-def seed_hits(read_codes, read_len, qpos_grid, idx_keys, idx_starts,
-              idx_counts, idx_positions, *, k, cands_per_seed, max_hits):
-    """Compute seed hits for a batch of reads.
-
-    Args:
-      read_codes: int32[B, L] nt4 codes, padded with 4 (N).
-      read_len:   int32[B].
-      qpos_grid:  int32[S] static sample positions (window starts).
-      idx_keys/starts/counts: KmerIndex arrays (device-resident).
-      idx_positions: uint32[P] reference positions.
-      k, cands_per_seed, max_hits: static config.
-
-    Returns dict: qpos int32[B,H], rpos uint32[B,H] (bit-pattern),
-    strand int32[B,H], valid bool[B,H]; sorted by (strand, qpos, rpos).
-    """
-    B, L = read_codes.shape
-    S = qpos_grid.shape[0]
-    C = cands_per_seed
-
-    # ---- window gather: (B, S, k)
+def extract_windows(read_codes, read_len, qpos_grid, k):
+    """Window gather: (B, S, k) nt4 windows + (B, S) validity."""
     win_idx = qpos_grid[:, None] + jnp.arange(k)[None, :]        # (S, k)
     win = read_codes[:, win_idx]                                  # (B, S, k)
     win_ok = jnp.all(win < 4, axis=2) & (
         (qpos_grid[None, :] + k) <= read_len[:, None])            # (B, S)
+    return win, win_ok
 
-    # ---- keys, both strands, from the same windows
+
+def window_keys(win, k):
+    """Packed 2-bit k-mer keys for both strands of (B, S, k) windows."""
     w32 = win.astype(jnp.uint32) & jnp.uint32(3)
     shifts_f = (2 * (k - 1 - jnp.arange(k))).astype(jnp.uint32)
     shifts_r = (2 * jnp.arange(k)).astype(jnp.uint32)
@@ -67,24 +50,32 @@ def seed_hits(read_codes, read_len, qpos_grid, idx_keys, idx_starts,
                     dtype=jnp.uint32)
     key_r = jnp.sum((w32 ^ jnp.uint32(3)) << shifts_r[None, None, :], axis=2,
                     dtype=jnp.uint32)
+    return key_f, key_r
 
-    def lookup(keys):                                             # (B, S)
-        i = jnp.searchsorted(idx_keys, keys)                      # (B, S)
-        i_c = jnp.minimum(i, idx_keys.shape[0] - 1)
-        found = (i < idx_keys.shape[0]) & (idx_keys[i_c] == keys)
-        start = idx_starts[i_c]
-        count = jnp.minimum(idx_counts[i_c], C)
-        offs = jnp.arange(C)[None, None, :]
-        pidx = jnp.minimum(start[:, :, None] + offs,
-                           idx_positions.shape[0] - 1)
-        pos = idx_positions[pidx]                                 # (B, S, C)
-        ok = found[:, :, None] & (offs < count[:, :, None])
-        return pos, ok
 
-    pos_f, ok_f = lookup(key_f)
-    pos_r, ok_r = lookup(key_r)
+def table_lookup(keys, idx_keys, idx_starts, idx_counts, idx_positions, C):
+    """Sorted-table candidate lookup: (…,) keys -> (…, C) positions + ok.
+    Keys absent from idx_keys (including any sentinel padding with
+    count 0) yield ok=False lanes."""
+    i = jnp.searchsorted(idx_keys, keys)
+    i_c = jnp.minimum(i, idx_keys.shape[0] - 1)
+    found = (i < idx_keys.shape[0]) & (idx_keys[i_c] == keys)
+    start = idx_starts[i_c]
+    count = jnp.minimum(idx_counts[i_c], C)
+    offs = jnp.arange(C)[None, None, :]
+    pidx = jnp.minimum(start[..., None] + offs,
+                       idx_positions.shape[0] - 1)
+    pos = idx_positions[pidx]                                     # (…, C)
+    ok = found[..., None] & (offs < count[..., None])
+    return pos, ok
 
-    # ---- hit coordinates
+
+def pack_hits(qpos_grid, read_len, pos_f, ok_f, pos_r, ok_r, win_ok, *,
+              k, max_hits):
+    """Candidate (pos, ok) pairs for both strands -> the sorted,
+    truncated per-read hit arrays (the seed_hits output contract)."""
+    B = read_len.shape[0]
+    S, C = pos_f.shape[1], pos_f.shape[2]
     qp_f = jnp.broadcast_to(qpos_grid[None, :, None], (B, S, C)
                             ).astype(jnp.int32)
     qp_r = read_len[:, None, None] - qp_f - k                     # rc coords
@@ -110,6 +101,34 @@ def seed_hits(read_codes, read_len, qpos_grid, idx_keys, idx_starts,
     strand = jnp.where(valid, key1 >> _QPOS_BITS, 0)
     rpos = jnp.where(valid, key2, jnp.uint32(0))
     return {"qpos": qpos, "rpos": rpos, "strand": strand, "valid": valid}
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cands_per_seed",
+                                             "max_hits"))
+def seed_hits(read_codes, read_len, qpos_grid, idx_keys, idx_starts,
+              idx_counts, idx_positions, *, k, cands_per_seed, max_hits):
+    """Compute seed hits for a batch of reads.
+
+    Args:
+      read_codes: int32[B, L] nt4 codes, padded with 4 (N).
+      read_len:   int32[B].
+      qpos_grid:  int32[S] static sample positions (window starts).
+      idx_keys/starts/counts: KmerIndex arrays (device-resident).
+      idx_positions: uint32[P] reference positions.
+      k, cands_per_seed, max_hits: static config.
+
+    Returns dict: qpos int32[B,H], rpos uint32[B,H] (bit-pattern),
+    strand int32[B,H], valid bool[B,H]; sorted by (strand, qpos, rpos).
+    """
+    C = cands_per_seed
+    win, win_ok = extract_windows(read_codes, read_len, qpos_grid, k)
+    key_f, key_r = window_keys(win, k)
+    pos_f, ok_f = table_lookup(key_f, idx_keys, idx_starts, idx_counts,
+                               idx_positions, C)
+    pos_r, ok_r = table_lookup(key_r, idx_keys, idx_starts, idx_counts,
+                               idx_positions, C)
+    return pack_hits(qpos_grid, read_len, pos_f, ok_f, pos_r, ok_r, win_ok,
+                     k=k, max_hits=max_hits)
 
 
 def make_qpos_grid(bucket_len: int, k: int, step: int):
