@@ -66,6 +66,24 @@ def _runs_to_cigar(ops: np.ndarray, n: int):
     return [(int(o & 0xF), int(o >> 4)) for o in ops[:n]]
 
 
+# Reused output buffers for the batch decoders. Fresh np.empty of
+# B x maxc uint32 costs ~50 us per first-touched page on this VM
+# (firecracker EPT faults) — measured 0.8-3 s per 64 MB allocation,
+# which dwarfed the actual C decode (0.6 ms). Keyed by shape; callers
+# are the (single-threaded) batch collect loops.
+_buf_cache: dict = {}
+
+
+def _out_buffers(B: int, maxc: int):
+    key = (B, maxc)
+    bufs = _buf_cache.get(key)
+    if bufs is None:
+        bufs = (np.empty((B, maxc), np.uint32), np.empty(B, np.int32))
+        bufs[0].fill(0)                 # touch pages once
+        _buf_cache[key] = bufs
+    return bufs
+
+
 def cigar_to_runs(cigar) -> np.ndarray:
     return np.asarray([(ln << 4) | op for op, ln in cigar], np.uint32)
 
@@ -104,8 +122,9 @@ def decode_steps_batch(steps: np.ndarray, term: np.ndarray,
     steps = np.ascontiguousarray(steps, np.int32)
     term = np.ascontiguousarray(term, np.int32)
     si = np.ascontiguousarray(start_i, np.int32)
-    out_ops = np.empty((B, maxc), np.uint32)
-    out_n = np.empty(B, np.int32)
+    # a decode emits <= 2 runs per DP row + the terminal D run
+    maxc = min(maxc, 2 * M + 2)
+    out_ops, out_n = _out_buffers(B, maxc)
     lib.lamsa_decode_steps(steps, term, si, B, M, term.shape[1],
                            out_ops.reshape(-1), maxc, out_n)
     res = []
@@ -130,8 +149,9 @@ def decode_steps16_batch(steps16: np.ndarray, term: np.ndarray,
     steps16 = np.ascontiguousarray(steps16, np.int32)
     term = np.ascontiguousarray(term, np.int32)
     si = np.ascontiguousarray(start_i, np.int32)
-    out_ops = np.empty((B, maxc), np.uint32)
-    out_n = np.empty(B, np.int32)
+    # rows = 2 * M2; a decode emits <= 2 runs per row + the terminal D
+    maxc = min(maxc, 4 * M2 + 2)
+    out_ops, out_n = _out_buffers(B, maxc)
     lib.lamsa_decode_steps16(steps16, term, si, B, M2, term.shape[1],
                              out_ops.reshape(-1), maxc, out_n)
     res = []

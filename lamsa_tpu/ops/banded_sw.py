@@ -52,7 +52,8 @@ def run_group_xla(q, t_win, m_len, n_len, lo, scores):
     from lamsa_tpu import native
     from lamsa_tpu.ops.banded_sw_xla import banded_sw_batch
 
-    res = banded_sw_batch(q, t_win, m_len, n_len, lo,
+    res = banded_sw_batch(jnp.asarray(q, jnp.int32),
+                          jnp.asarray(t_win, jnp.int32), m_len, n_len, lo,
                           match=scores.match, mismatch=scores.mismatch,
                           gapo=scores.gap_open, gape=scores.gap_ext)
     g, te, te_d = extract_scores(res["h_last"], m_len, n_len, lo)
@@ -77,10 +78,16 @@ def _dp_tb_fused(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
     """Single device dispatch: banded DP -> score extraction -> clip
     decision -> on-device traceback. Returns ONE packed int32 array
     (B, M + 16): [steps | term(8) | score | start_i | start_d | pad...]
-    so the host needs exactly one transfer per group."""
+    so the host needs exactly one transfer per group.
+
+    q/t_win may arrive uint8 (nt4 codes): the host->device relay is the
+    scarce resource, so the batcher uploads 1 byte/base and the cast to
+    the kernels' int32 contract happens here, on device."""
     from lamsa_tpu.ops.banded_sw_pallas import banded_sw_pallas
     from lamsa_tpu.ops.traceback_pallas import traceback_pallas
 
+    q = q.astype(jnp.int32)
+    t_win = t_win.astype(jnp.int32)
     res = banded_sw_pallas(q, t_win, m_len, n_len, lo, match=match,
                            mismatch=mismatch, gapo=gapo, gape=gape)
     g, te, te_d = extract_scores(res["h_last"], m_len, n_len, lo)

@@ -40,16 +40,20 @@ _EXT_CAP = 2048          # longest end extension attempted (rest soft-clips)
 
 
 def _pack_hits_chain(hits, *, weight, lookback, max_dist, diag_slack):
+    """Pack the per-read hit+chain arrays into 3 int32 planes for ONE
+    compact device->host transfer (the relay is the scarce link):
+      plane 0: rpos bit-pattern
+      plane 1: qpos (19 bits) | strand << 19 | valid << 20
+      plane 2: f (19 bits; f <= weight * max_hits << 2^19) | (pred+1) << 19
+    Host decode in Aligner._seed_and_chain."""
     f, pred = chain_hits(hits["qpos"], hits["rpos"], hits["strand"],
                          hits["valid"], weight=weight, lookback=lookback,
                          max_dist=max_dist, diag_slack=diag_slack)
     return jnp.stack([
-        hits["qpos"],
         jax.lax.bitcast_convert_type(hits["rpos"], jnp.int32),
-        hits["strand"],
-        hits["valid"].astype(jnp.int32),
-        f,
-        pred,
+        hits["qpos"] | (hits["strand"] << 19)
+        | (hits["valid"].astype(jnp.int32) << 20),
+        f | ((pred + 1) << 19),
     ])
 
 
@@ -60,9 +64,11 @@ def _pack_hits_chain(hits, *, weight, lookback, max_dist, diag_slack):
 def _seed_chain_packed(rc, lens, grid, keys, starts, counts, positions, *,
                        k, cands_per_seed, max_hits, weight, lookback,
                        max_dist, diag_slack):
-    """Fused seeding+chaining returning one packed (6, B, H) int32 array
-    (qpos, rpos-bits, strand, valid, f, pred) — single transfer."""
-    hits = seed_hits(rc, lens, grid, keys, starts, counts, positions, k=k,
+    """Fused seeding+chaining returning one packed (3, B, H) int32 array
+    (see _pack_hits_chain) — single compact transfer. rc may be uint8
+    (1 byte/base upload); cast to the seeding contract on device."""
+    hits = seed_hits(rc.astype(jnp.int32), lens, grid, keys, starts,
+                     counts, positions, k=k,
                      cands_per_seed=cands_per_seed, max_hits=max_hits)
     return _pack_hits_chain(hits, weight=weight, lookback=lookback,
                             max_dist=max_dist, diag_slack=diag_slack)
@@ -77,7 +83,7 @@ def _seed_chain_packed_fm(rc, lens, grid, fm_dev, *, k, cands_per_seed,
                           sa_rate):
     """FM-index variant (whole-genome path)."""
     from lamsa_tpu.pipeline.seeding import seed_hits_fm
-    hits = seed_hits_fm(rc, lens, grid, fm_dev, k=k,
+    hits = seed_hits_fm(rc.astype(jnp.int32), lens, grid, fm_dev, k=k,
                         cands_per_seed=cands_per_seed, max_hits=max_hits,
                         sa_rate=sa_rate)
     return _pack_hits_chain(hits, weight=weight, lookback=lookback,
@@ -197,7 +203,7 @@ class Aligner:
         cfg = self.config
         B = len(idxs)
         Bp = max(8, 1 << (B - 1).bit_length())
-        rc = np.full((Bp, L), 4, np.int32)
+        rc = np.full((Bp, L), 4, np.uint8)       # 1 byte/base upload
         lens = np.zeros(Bp, np.int32)
         for b, ri in enumerate(idxs):
             c = codes[ri][:L]
@@ -219,14 +225,14 @@ class Aligner:
             packed = _seed_chain_packed_fm(
                 rc, lens, grid, self._dev, sa_rate=self.index.sa_rate,
                 **common)
-        packed = np.asarray(packed)[:, :B]          # (6, B, H) one transfer
+        packed = np.asarray(packed)[:, :B]          # (3, B, H) one transfer
         return {
-            "qpos": packed[0],
-            "rpos": packed[1].view(np.uint32).astype(np.int64),
-            "strand": packed[2],
-            "valid": packed[3].astype(bool),
-            "f": packed[4],
-            "pred": packed[5],
+            "rpos": packed[0].view(np.uint32).astype(np.int64),
+            "qpos": packed[1] & 0x7FFFF,
+            "strand": (packed[1] >> 19) & 1,
+            "valid": ((packed[1] >> 20) & 1).astype(bool),
+            "f": packed[2] & 0x7FFFF,
+            "pred": (packed[2] >> 19) - 1,
         }
 
     def _build_skeleton(self, h, gi, read_len):

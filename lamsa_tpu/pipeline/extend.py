@@ -163,8 +163,10 @@ class DpBatcher:
             self._collect_pallas(insts, M, W, dev)
 
     def _build_arrays(self, insts, M, W, Bp):
-        q = np.zeros((Bp, M), np.int32)
-        t_win = np.zeros((Bp, M + W), np.int32)
+        # uint8 halves nothing on device (kernels cast to int32 there)
+        # but quarters the host->device upload, the scarce link
+        q = np.zeros((Bp, M), np.uint8)
+        t_win = np.zeros((Bp, M + W), np.uint8)
         m_len = np.zeros(Bp, np.int32)
         n_len = np.zeros(Bp, np.int32)
         lo = np.zeros(Bp, np.int32)
@@ -257,7 +259,8 @@ class DpBatcher:
         """Test hook: run a caller-provided kernel with the XLA-style
         contract (uint8 dirs) and host traceback."""
         sc = self.scores
-        res = self.kernel(q, t_win, m_len, n_len, lo,
+        res = self.kernel(q.astype(np.int32), t_win.astype(np.int32),
+                          m_len, n_len, lo,
                           match=sc.match, mismatch=sc.mismatch,
                           gapo=sc.gap_open, gape=sc.gap_ext)
         from lamsa_tpu.ops.banded_sw import extract_scores
