@@ -42,6 +42,12 @@ def _load():
     lib.lamsa_decode_steps16.argtypes = [i32p, i32p, i32p, c, c, c, u32p,
                                          c, i32p]
     lib.lamsa_decode_steps16.restype = c
+    lib.lamsa_decode_compact.argtypes = [i32p, i32p, i32p, i32p, i32p, c,
+                                         c, c, u32p, c, i32p]
+    lib.lamsa_decode_compact.restype = c
+    lib.lamsa_banded_sw_tb.argtypes = [i8p, c, i8p, c, c, c, c, c, c, c,
+                                       c, c, u32p, c, i32p]
+    lib.lamsa_banded_sw_tb.restype = c
     lib.lamsa_traceback_banded.argtypes = [i8p, c, c, c, c, c, u32p, c,
                                            i32p]
     lib.lamsa_traceback_banded.restype = c
@@ -162,6 +168,69 @@ def decode_steps16_batch(steps16: np.ndarray, term: np.ndarray,
         else:
             res.append(_runs_to_cigar(out_ops[b], int(out_n[b])))
     return res
+
+
+def decode_compact_batch(opbits: np.ndarray, events: np.ndarray,
+                         term0: np.ndarray, start_i: np.ndarray,
+                         n_ev: np.ndarray, maxc: int = MAXC_DEFAULT):
+    """Batch decode of the compact device-traceback output (op bitmap +
+    sparse D events; see ops/banded_sw.py::_dp_tb_fused). Instances
+    whose event list was truncated on device decode to None — callers
+    recompute those with banded_sw_tb."""
+    lib = _load()
+    B, nw = opbits.shape
+    E = events.shape[1]
+    if lib is None:
+        from lamsa_tpu.ops.traceback import decode_compact
+        return [decode_compact(opbits[b], events[b], int(term0[b]),
+                               int(start_i[b]), int(n_ev[b]))
+                for b in range(B)]
+    opbits = np.ascontiguousarray(opbits, np.int32)
+    events = np.ascontiguousarray(events, np.int32)
+    t0 = np.ascontiguousarray(term0, np.int32)
+    si = np.ascontiguousarray(start_i, np.int32)
+    ne = np.ascontiguousarray(n_ev, np.int32)
+    # a decode emits <= 2 runs per DP row + the terminal D run
+    maxc = min(maxc, 2 * nw * 32 + 2)
+    out_ops, out_n = _out_buffers(B, maxc)
+    lib.lamsa_decode_compact(opbits, events, t0, si, ne, B, nw, E,
+                             out_ops.reshape(-1), maxc, out_n)
+    res = []
+    for b in range(B):
+        if out_n[b] == -2:              # event overflow: recompute
+            res.append(None)
+        elif out_n[b] < 0:              # defensive: run-buffer overflow
+            from lamsa_tpu.ops.traceback import decode_compact
+            res.append(decode_compact(opbits[b], events[b], int(t0[b]),
+                                      int(si[b]), int(ne[b])))
+        else:
+            res.append(_runs_to_cigar(out_ops[b], int(out_n[b])))
+    return res
+
+
+def banded_sw_tb(q: np.ndarray, t: np.ndarray, scores, lo: int, hi: int,
+                 si: int, sj: int, maxc: int = MAXC_DEFAULT):
+    """Banded DP (oracle contract) + traceback from an arbitrary start
+    cell (si, sj). Used to recompute instances whose compact device
+    traceback overflowed; bit-identical to the device walk."""
+    lib = _load()
+    q = np.ascontiguousarray(q, np.uint8)
+    t = np.ascontiguousarray(t, np.uint8)
+    if lib is None:
+        from lamsa_tpu.ops import oracle
+        _, _, _, dirs = oracle._run_dp(q, t, scores, lo, hi)
+        return oracle.traceback(dirs, si, sj)
+    out_ops = np.empty(maxc, np.uint32)
+    out_n = np.empty(1, np.int32)
+    rc = lib.lamsa_banded_sw_tb(q, len(q), t, len(t), scores.match,
+                                scores.mismatch, scores.gap_open,
+                                scores.gap_ext, lo, hi, si, sj, out_ops,
+                                maxc, out_n)
+    if rc != 0 or out_n[0] < 0:
+        from lamsa_tpu.ops import oracle
+        _, _, _, dirs = oracle._run_dp(q, t, scores, lo, hi)
+        return oracle.traceback(dirs, si, sj)
+    return _runs_to_cigar(out_ops, int(out_n[0]))
 
 
 def traceback_banded(dirs: np.ndarray, lo: int, i: int, j: int,

@@ -125,6 +125,40 @@ int lamsa_decode_steps16(const int32_t* steps16, const int32_t* term,
     return rc;
 }
 
+// Compact device-traceback decode: op bitmap (1 bit per DP row, 1 = I)
+// + sparse D events (idx << 16 | count, ascending by idx, E slots).
+// See ops/banded_sw.py::_dp_tb_fused for the producer. n_ev[b] > E
+// means the event list was truncated on device: out_n[b] = -2 and the
+// caller must recompute that instance (native banded_sw_tb below).
+int lamsa_decode_compact(const int32_t* opbits, const int32_t* events,
+                         const int32_t* term0, const int32_t* start_i,
+                         const int32_t* n_ev, int32_t B, int32_t nw,
+                         int32_t E, uint32_t* out_ops, int32_t out_stride,
+                         int32_t* out_n) {
+    int rc = 0;
+    for (int32_t b = 0; b < B; b++) {
+        if (n_ev[b] > E) { out_n[b] = -2; rc = -1; continue; }
+        RunBuf rb{out_ops + (int64_t)b * out_stride, out_stride, 0, false};
+        const int32_t* ob = opbits + (int64_t)b * nw;
+        const int32_t* ev = events + (int64_t)b * E;
+        int32_t ptr = n_ev[b] - 1;
+        for (int32_t r = start_i[b]; r >= 1; r--) {
+            int32_t idx = r - 1;
+            if (ptr >= 0 && (ev[ptr] >> 16) == idx) {
+                rb.push(OP_D, ev[ptr] & 0xFFFF);
+                ptr--;
+            }
+            int bit = (ob[idx >> 5] >> (idx & 31)) & 1;
+            rb.push(bit ? OP_I : OP_M, 1);
+        }
+        rb.push(OP_D, term0[b]);
+        reverse_runs(rb.out, rb.count);
+        out_n[b] = rb.overflow ? -1 : rb.count;
+        if (rb.overflow) rc = -1;
+    }
+    return rc;
+}
+
 // ------------------------------------------------- banded dirs traceback
 
 // dirs: uint8[M, W], row r at index r-1; lane d of row i = cell
@@ -161,20 +195,18 @@ int lamsa_traceback_banded(const uint8_t* dirs, int32_t M, int32_t W,
 
 // -------------------------------------------------------- scalar banded SW
 
-// The ksw-equivalent CPU kernel: banded affine-gap global alignment with
-// state-aware traceback; identical scoring/tie-break contract as
-// ops/oracle.py. Returns score via *score_out, CIGAR via out_ops.
-// band: lo <= j - i <= hi. Requires lo <= 0 <= hi and lo <= n-m <= hi.
-int lamsa_banded_sw_cpu(const uint8_t* q, int32_t m, const uint8_t* t,
+// Shared DP fill for the ksw-equivalent CPU kernel: banded affine-gap
+// DP with the identical scoring/tie-break contract as ops/oracle.py.
+// Fills `dir` (rows 0..m, W lanes) and returns H[m][n] via *score_mn.
+static int sw_fill_dirs(const uint8_t* q, int32_t m, const uint8_t* t,
                         int32_t n, int32_t match, int32_t mis,
                         int32_t gapo, int32_t gape, int32_t lo, int32_t hi,
-                        int32_t* score_out, uint32_t* out_ops,
-                        int32_t maxc, int32_t* out_n) {
+                        std::vector<uint8_t>& dir, int32_t* score_mn) {
     const int32_t NEG = -(1 << 29);
-    if (!(lo <= 0 && hi >= 0 && lo <= n - m && n - m <= hi)) return -2;
+    if (!(lo <= 0 && hi >= 0)) return -2;
     int32_t W = hi - lo + 1;
     std::vector<int32_t> H((int64_t)(m + 1) * W, NEG), E(H), F(H);
-    std::vector<uint8_t> dir((int64_t)(m + 1) * W, 0);
+    dir.assign((int64_t)(m + 1) * W, 0);
     auto idx = [&](int32_t i, int32_t j) -> int64_t {
         return (int64_t)i * W + (j - i - lo);
     };
@@ -223,12 +255,47 @@ int lamsa_banded_sw_cpu(const uint8_t* q, int32_t m, const uint8_t* t,
             dir[idx(i, j)] = d | src;
         }
     }
-    *score_out = H[idx(m, n)];
+    *score_mn = (n - m >= lo && n - m <= hi) ? H[idx(m, n)] : NEG;
+    return 0;
+}
+
+// Global entry: fill + traceback from (m, n).
+int lamsa_banded_sw_cpu(const uint8_t* q, int32_t m, const uint8_t* t,
+                        int32_t n, int32_t match, int32_t mis,
+                        int32_t gapo, int32_t gape, int32_t lo, int32_t hi,
+                        int32_t* score_out, uint32_t* out_ops,
+                        int32_t maxc, int32_t* out_n) {
+    if (!(lo <= 0 && hi >= 0 && lo <= n - m && n - m <= hi)) return -2;
+    std::vector<uint8_t> dir;
+    int rc = sw_fill_dirs(q, m, t, n, match, mis, gapo, gape, lo, hi, dir,
+                          score_out);
+    if (rc != 0) return rc;
+    int32_t W = hi - lo + 1;
     // dir stores row i at index i (row 0 = init row); the walker expects
     // row i at index i-1, and lane d of row i here is (j - i - lo) which
     // matches the walker's convention — skip the init row.
     return lamsa_traceback_banded(dir.data() + W, m, W, lo, m, n, out_ops,
                                   maxc, out_n);
+}
+
+// Arbitrary-start entry: fill + traceback from (si, sj). Used to
+// recompute (bit-identically) the rare instances whose compact device
+// traceback overflowed the event budget. Score is not returned (the
+// device already shipped it).
+int lamsa_banded_sw_tb(const uint8_t* q, int32_t m, const uint8_t* t,
+                       int32_t n, int32_t match, int32_t mis,
+                       int32_t gapo, int32_t gape, int32_t lo, int32_t hi,
+                       int32_t si, int32_t sj, uint32_t* out_ops,
+                       int32_t maxc, int32_t* out_n) {
+    if (si < 0 || si > m || sj < 0 || sj > n) return -2;
+    std::vector<uint8_t> dir;
+    int32_t score;
+    int rc = sw_fill_dirs(q, m, t, n, match, mis, gapo, gape, lo, hi, dir,
+                          &score);
+    if (rc != 0) return rc;
+    int32_t W = hi - lo + 1;
+    return lamsa_traceback_banded(dir.data() + W, m, W, lo,
+                                  si, sj, out_ops, maxc, out_n);
 }
 
 // ---------------------------------------------------------------- NM calc

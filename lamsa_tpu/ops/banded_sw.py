@@ -71,18 +71,33 @@ def run_group_xla(q, t_win, m_len, n_len, lo, scores):
     return out, cigar
 
 
+def compact_E(M: int) -> int:
+    """Event-slot budget of the compact traceback encoding for an
+    M-row bucket. D events are rows whose traceback emits a deletion
+    run — one per deletion in the alignment, so the budget only needs
+    to cover plausible indel counts; overflow (> E deletions in one
+    gap) is flagged per instance and recomputed host-side
+    bit-identically (native banded_sw_tb)."""
+    return M // 8 + 16
+
+
 @functools.partial(jax.jit, static_argnames=("match", "mismatch", "gapo",
                                              "gape"))
 def _dp_tb_fused(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
                  mismatch, gapo, gape):
     """Single device dispatch: banded DP -> score extraction -> clip
-    decision -> on-device traceback. Returns ONE packed int32 array
-    (B, M + 16): [steps | term(8) | score | start_i | start_d | pad...]
-    so the host needs exactly one transfer per group.
+    decision -> on-device traceback -> compact encode. Returns ONE
+    packed int32 array (B, M/32 + E + 8):
+      [ op bitmap (M/32 words, bit idx = DP row idx, 1 = I step)
+      | D events (E words, (row_idx << 16) | d_count, ascending,
+        0x7FFFFFFF padding)
+      | tail: term0, score, start_i, start_d, n_ev, 0, 0, 0 ]
+    so the host needs exactly one compact transfer per group (~3-5x
+    smaller than shipping per-row step words; the device->host relay
+    is the scarce resource).
 
-    q/t_win may arrive uint8 (nt4 codes): the host->device relay is the
-    scarce resource, so the batcher uploads 1 byte/base and the cast to
-    the kernels' int32 contract happens here, on device."""
+    q/t_win may arrive uint8 (nt4 codes): uploads are 1 byte/base and
+    the cast to the kernels' int32 contract happens here, on device."""
     from lamsa_tpu.ops.banded_sw_pallas import banded_sw_pallas
     from lamsa_tpu.ops.traceback_pallas import traceback_pallas
 
@@ -103,19 +118,28 @@ def _dp_tb_fused(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
     sj = jnp.where(is_global, n_len, sj_ext)
     score = jnp.where(is_global, g, sc_ext)
     sd = (sj - si - lo).astype(jnp.int32)
-    steps, term = traceback_pallas(res["dirs32"], m_len, n_len, lo,
-                                   si.astype(jnp.int32), sd)
-    # repack step words to 16 bits (count:14 | op:2) and pair rows per
-    # int32 — halves the device->host payload (the scarce resource)
-    count = steps & 0xFFFF
+    si = si.astype(jnp.int32)
+    steps, term = traceback_pallas(res["dirs32"], m_len, n_len, lo, si, sd)
+    B, M = q.shape
+    E = compact_E(M)
+    idxr = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
+    active = idxr < si[:, None]          # rows the walk visited
     op = steps >> 16
-    s16 = (count & 0x3FFF) | (op << 14)
-    packed16 = s16[:, 0::2] | (s16[:, 1::2] << 16)
-    B = q.shape[0]
+    cnt = steps & 0xFFFF
+    ibit = (active & (op == 1)).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    opbits = jax.lax.bitcast_convert_type(
+        jnp.sum(ibit.reshape(B, M // 32, 32) << shifts[None, None, :],
+                axis=2), jnp.int32)
+    ev = active & (cnt > 0) & (op != 2)
+    evw = jnp.where(ev, (idxr << 16) | cnt, jnp.int32(0x7FFFFFFF))
+    evw = jnp.sort(evw, axis=1)[:, :E]
+    n_ev = jnp.sum(ev, axis=1).astype(jnp.int32)
+    z = jnp.zeros((B, 1), jnp.int32)
     tail = jnp.concatenate(
-        [term, score[:, None], si[:, None].astype(jnp.int32),
-         sd[:, None], jnp.zeros((B, 5), jnp.int32)], axis=1)
-    return jnp.concatenate([packed16, tail], axis=1)
+        [term[:, 0:1], score[:, None], si[:, None], sd[:, None],
+         n_ev[:, None], z, z, z], axis=1)
+    return jnp.concatenate([opbits, evw, tail], axis=1)
 
 
 def dispatch_group_pallas(q, t_win, m_len, n_len, lo, is_global, bonus,
@@ -128,16 +152,18 @@ def dispatch_group_pallas(q, t_win, m_len, n_len, lo, is_global, bonus,
 
 
 def collect_group_pallas(packed_dev, M):
-    """Sync one group's packed result; returns (cigars, scores, si, sj
-    arrays). Steps arrive 2-rows-per-word (16-bit each)."""
+    """Sync one group's packed compact result; returns (cigars, scores,
+    si, sd arrays). cigars[b] is None when the instance's event list
+    overflowed on device — the batcher recomputes those host-side."""
     from lamsa_tpu import native
 
-    M2 = M // 2
+    nw = M // 32
+    E = compact_E(M)
     packed = np.asarray(packed_dev)
-    steps16 = packed[:, :M2]
-    term = packed[:, M2:M2 + 8]
-    score = packed[:, M2 + 8]
-    si = packed[:, M2 + 9]
-    sd = packed[:, M2 + 10]
-    cigars = native.decode_steps16_batch(steps16, term, si)
+    opbits = packed[:, :nw]
+    events = packed[:, nw:nw + E]
+    tail = packed[:, nw + E:]
+    term0, score, si, sd, n_ev = (tail[:, 0], tail[:, 1], tail[:, 2],
+                                  tail[:, 3], tail[:, 4])
+    cigars = native.decode_compact_batch(opbits, events, term0, si, n_ev)
     return cigars, score, si, sd

@@ -124,3 +124,35 @@ def decode_steps16(steps16_row: np.ndarray, term_row: np.ndarray,
             push(OP_I, 1)
     push(OP_D, int(term_row[0]))
     return [(op, ln) for op, ln in reversed(ops)]
+
+
+def decode_compact(opbits_row: np.ndarray, events_row: np.ndarray,
+                   term0: int, start_i: int, n_ev: int):
+    """Decode one instance's compact device-traceback output: op bitmap
+    (bit idx = DP row idx, 1 = I step, 0 = M step) plus sparse D events
+    ((row_idx << 16) | d_count, ascending). Returns None when the event
+    list was truncated on device (n_ev > len(events_row)): the caller
+    must recompute the instance. See ops/banded_sw.py::_dp_tb_fused."""
+    E = len(events_row)
+    if n_ev > E:
+        return None
+    ops: list[list[int]] = []
+
+    def push(op, ln):
+        if ln <= 0:
+            return
+        if ops and ops[-1][0] == op:
+            ops[-1][1] += ln
+        else:
+            ops.append([op, ln])
+
+    ptr = int(n_ev) - 1
+    for r in range(int(start_i), 0, -1):
+        idx = r - 1
+        if ptr >= 0 and (int(events_row[ptr]) >> 16) == idx:
+            push(OP_D, int(events_row[ptr]) & 0xFFFF)
+            ptr -= 1
+        bit = (int(opbits_row[idx >> 5]) >> (idx & 31)) & 1
+        push(OP_I if bit else OP_M, 1)
+    push(OP_D, int(term0))
+    return [(op, ln) for op, ln in reversed(ops)]

@@ -206,6 +206,7 @@ class DpBatcher:
         return insts, M, W, dev
 
     def _collect_pallas(self, insts, M, W, dev):
+        from lamsa_tpu import native
         from lamsa_tpu.ops.banded_sw import collect_group_pallas
         from lamsa_tpu.utils.timers import GLOBAL as STATS
         with STATS.stage(f"dp_collect_{M}x{W}"):
@@ -218,8 +219,15 @@ class DpBatcher:
                 lo_b = -(W // 2)
             i = int(si[b])
             j = i + lo_b + int(sd[b])
-            self._results[inst["idx"]] = DpResult(int(score[b]), cigars[b],
-                                                  i, j)
+            cig = cigars[b]
+            if cig is None:
+                # compact event budget overflowed on device (rare:
+                # > E deletions in one gap) — recompute this instance
+                # bit-identically on the host
+                cig = native.banded_sw_tb(inst["q"], inst["t"],
+                                          self.scores, lo_b,
+                                          lo_b + W - 1, i, j)
+            self._results[inst["idx"]] = DpResult(int(score[b]), cig, i, j)
 
     # --------------------------------------------------- host (XLA) engine
 
