@@ -81,28 +81,22 @@ def compact_E(M: int) -> int:
     return M // 8 + 16
 
 
-@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gapo",
-                                             "gape"))
-def _dp_tb_fused(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
-                 mismatch, gapo, gape):
-    """Single device dispatch: banded DP -> score extraction -> clip
-    decision -> on-device traceback -> compact encode. Returns ONE
-    packed int32 array (B, M/32 + E + 8):
+def _dp_tb_core(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
+                mismatch, gapo, gape):
+    """Banded DP -> score extraction -> clip decision -> on-device
+    traceback -> compact encode (shared by the upload and the
+    device-gather entries below). Returns ONE packed int32 array
+    (B, M/32 + E + 8):
       [ op bitmap (M/32 words, bit idx = DP row idx, 1 = I step)
       | D events (E words, (row_idx << 16) | d_count, ascending,
         0x7FFFFFFF padding)
       | tail: term0, score, start_i, start_d, n_ev, 0, 0, 0 ]
     so the host needs exactly one compact transfer per group (~3-5x
-    smaller than shipping per-row step words; the device->host relay
-    is the scarce resource).
-
-    q/t_win may arrive uint8 (nt4 codes): uploads are 1 byte/base and
-    the cast to the kernels' int32 contract happens here, on device."""
+    smaller than shipping per-row step words; the device<->host relay
+    is the scarce resource)."""
     from lamsa_tpu.ops.banded_sw_pallas import banded_sw_pallas
     from lamsa_tpu.ops.traceback_pallas import traceback_pallas
 
-    q = q.astype(jnp.int32)
-    t_win = t_win.astype(jnp.int32)
     res = banded_sw_pallas(q, t_win, m_len, n_len, lo, match=match,
                            mismatch=mismatch, gapo=gapo, gape=gape)
     g, te, te_d = extract_scores(res["h_last"], m_len, n_len, lo)
@@ -142,6 +136,66 @@ def _dp_tb_fused(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
     return jnp.concatenate([opbits, evw, tail], axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("match", "mismatch", "gapo",
+                                             "gape"))
+def _dp_tb_fused(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
+                 mismatch, gapo, gape):
+    """Upload entry: q/t_win arrive as host-assembled (B, M) / (B, M+W)
+    arrays, possibly uint8 (1 byte/base on the relay); cast on device."""
+    return _dp_tb_core(q.astype(jnp.int32), t_win.astype(jnp.int32),
+                       m_len, n_len, lo, is_global, bonus, match=match,
+                       mismatch=mismatch, gapo=gapo, gape=gape)
+
+
+@functools.partial(jax.jit, static_argnames=("M", "W", "match", "mismatch",
+                                             "gapo", "gape"))
+def _dp_tb_fused_gather(flat_reads, ref_codes, q_base, q_step, q_comp,
+                        t_base, t_step, m_len, n_len, lo, is_global,
+                        bonus, *, M, W, match, mismatch, gapo, gape):
+    """Device-gather entry: q and t windows are assembled ON DEVICE from
+    the resident flat read-code array and reference-code array, so the
+    per-chunk host->device upload is ~8 int32 per instance instead of
+    M + (M+W) codes (SURVEY.md section 5: host<->device links are the
+    scarce resource; in this environment a ~20-70 MB/s relay).
+
+    Descriptors per instance b:
+      q window element y (0 <= y < m_len) = flat_reads[q_base + q_step*y],
+        complemented (3-c for c<4) when q_comp == 1 — this covers both
+        strands and the reversed windows of left extensions;
+      t window position x (0 <= x < M+W) maps to target offset
+        y = x + lo; valid (0 <= y < n_len) positions gather
+        ref_codes[t_base + t_step*y] (uint32 math: genomes to 4 Gb),
+        invalid ones get the never-matching sentinel 5."""
+    q, t_win = gather_windows(flat_reads, ref_codes, q_base, q_step,
+                              q_comp, t_base, t_step, m_len, n_len, lo,
+                              M=M, W=W)
+    return _dp_tb_core(q, t_win, m_len, n_len, lo, is_global, bonus,
+                       match=match, mismatch=mismatch, gapo=gapo,
+                       gape=gape)
+
+
+def gather_windows(flat_reads, ref_codes, q_base, q_step, q_comp, t_base,
+                   t_step, m_len, n_len, lo, *, M, W):
+    """On-device window assembly (the spec _build_arrays implements
+    host-side); must produce exactly the q / t_win arrays the host
+    assembly would upload (tests/test_gather_dispatch.py)."""
+    xq = jnp.arange(M, dtype=jnp.int32)[None, :]
+    qidx = q_base[:, None] + q_step[:, None] * xq
+    qg = flat_reads[jnp.clip(qidx, 0, flat_reads.shape[0] - 1)] \
+        .astype(jnp.int32)
+    qg = jnp.where((q_comp[:, None] == 1) & (qg < 4), 3 - qg, qg)
+    q = jnp.where(xq < m_len[:, None], qg, 4)
+
+    xt = jnp.arange(M + W, dtype=jnp.int32)[None, :]
+    y = xt + lo[:, None]
+    tvalid = (y >= 0) & (y < n_len[:, None])
+    off = jax.lax.bitcast_convert_type(t_step[:, None] * y, jnp.uint32)
+    tidx = t_base[:, None] + off                 # uint32, wraps harmlessly
+    tidx = jnp.minimum(tidx, jnp.uint32(ref_codes.shape[0] - 1))
+    t_win = jnp.where(tvalid, ref_codes[tidx].astype(jnp.int32), 5)
+    return q, t_win
+
+
 def dispatch_group_pallas(q, t_win, m_len, n_len, lo, is_global, bonus,
                           scores):
     """Async launch of the fused DP+decide+traceback chain; returns the
@@ -149,6 +203,19 @@ def dispatch_group_pallas(q, t_win, m_len, n_len, lo, is_global, bonus,
     return _dp_tb_fused(q, t_win, m_len, n_len, lo, is_global, bonus,
                         match=scores.match, mismatch=scores.mismatch,
                         gapo=scores.gap_open, gape=scores.gap_ext)
+
+
+def dispatch_group_pallas_gather(params: dict, flat_dev, ref_dev, scores,
+                                 M: int, W: int):
+    """Async launch of the device-gather fused chain. `params` holds the
+    per-instance descriptor arrays (see _dp_tb_fused_gather)."""
+    return _dp_tb_fused_gather(
+        flat_dev, ref_dev, params["q_base"], params["q_step"],
+        params["q_comp"], params["t_base"], params["t_step"],
+        params["m_len"], params["n_len"], params["lo"],
+        params["is_global"], params["bonus"], M=M, W=W,
+        match=scores.match, mismatch=scores.mismatch,
+        gapo=scores.gap_open, gape=scores.gap_ext)
 
 
 def collect_group_pallas(packed_dev, M):

@@ -133,6 +133,15 @@ class Aligner:
                 "positions": jnp.asarray(index.positions.astype(np.uint32)),
             }
         self._grids = {}
+        # Pallas engine: the reference codes live on device once, and
+        # DP windows are gathered there (ops/banded_sw.py
+        # _dp_tb_fused_gather) — per-chunk uploads shrink to ~8 int32
+        # per instance.
+        from lamsa_tpu.ops.banded_sw import backend_kind
+        self._ref_dev = None
+        if backend_kind() == "pallas":
+            self._ref_dev = jax.device_put(
+                np.ascontiguousarray(ref.codes, dtype=np.uint8))
 
     # ------------------------------------------------------------- batching
 
@@ -154,7 +163,25 @@ class Aligner:
             groups.setdefault(self._bucket_len(max(len(c), cfg.kmer + 1)),
                               []).append(i)
 
-        batcher = DpBatcher(cfg.scores)
+        flat_offs = None
+        device_sources = None
+        if self._ref_dev is not None:
+            # flat forward read codes, device-resident for the batch;
+            # padded to a power of two to keep the jit signature set
+            # closed (relay compiles cost ~a minute per signature)
+            total = sum(len(c) for c in codes)
+            cap = max(1024, 1 << max(0, (total - 1)).bit_length())
+            flat = np.full(cap, 4, np.uint8)
+            flat_offs = np.zeros(len(codes) + 1, np.int64)
+            pos = 0
+            for i, c in enumerate(codes):
+                flat_offs[i] = pos
+                flat[pos:pos + len(c)] = c
+                pos += len(c)
+            flat_offs[-1] = pos
+            device_sources = (jax.device_put(flat), self._ref_dev)
+
+        batcher = DpBatcher(cfg.scores, device_sources=device_sources)
         pending: list[tuple[int, list[_PendingPart], object]] = []
 
         for L, idxs in sorted(groups.items()):
@@ -163,7 +190,10 @@ class Aligner:
             with STATS.stage("skeleton_host"):
                 for gi, ri in enumerate(idxs):
                     sk = self._build_skeleton(hit_arrays, gi, len(codes[ri]))
-                    parts = self._enqueue_parts(sk, codes[ri], batcher)
+                    off = int(flat_offs[ri]) if flat_offs is not None \
+                        else None
+                    parts = self._enqueue_parts(sk, codes[ri], batcher,
+                                                flat_off=off)
                     pending.append((ri, parts, sk))
 
         with STATS.stage("dp_batch"):
@@ -243,11 +273,25 @@ class Aligner:
 
     # ------------------------------------------------------- part alignment
 
-    def _enqueue_parts(self, sk, read_codes, batcher) -> list[_PendingPart]:
+    @staticmethod
+    def _qdesc(off, L, strand, w0, m, rev):
+        """Device-gather descriptor for an oriented-read window:
+        element y of the window = flat[q_base + q_step * y],
+        complemented when strand == 1. w0 = window start in ORIENTED
+        read coordinates, m = window length, rev = emitted reversed
+        (left extensions)."""
+        first_y = w0 + m - 1 if rev else w0
+        first = off + (first_y if strand == 0 else L - 1 - first_y)
+        step = -1 if (strand ^ rev) else 1
+        return (int(first), step, int(strand))
+
+    def _enqueue_parts(self, sk, read_codes, batcher,
+                       flat_off=None) -> list[_PendingPart]:
         cfg = self.config
         L = len(read_codes)
         rc_codes = None
         pend = []
+        qd = td = None                 # stays None on the host engine
         n_parts = len(sk.parts)
         part_list = list(sk.parts) + list(sk.secondaries)
         for pi, part in enumerate(part_list):
@@ -277,9 +321,15 @@ class Aligner:
 
             gap_handles = []
             for (qa, ra, la), (qb, rb, _lb) in zip(blocks, blocks[1:]):
-                q_seg = qseq[qa + la:qb]
-                t_seg = self.ref.codes[ra + la:rb]
-                gap_handles.append(batcher.add_global(q_seg, t_seg))
+                qa_, ra_ = int(qa + la), int(ra + la)
+                q_seg = qseq[qa_:int(qb)]
+                t_seg = self.ref.codes[ra_:int(rb)]
+                if flat_off is not None:
+                    qd = self._qdesc(flat_off, L, part.strand, qa_,
+                                     len(q_seg), 0)
+                    td = (ra_, 1)
+                gap_handles.append(batcher.add_global(q_seg, t_seg,
+                                                      qd=qd, td=td))
 
             # left extension (reversed)
             q0, r0 = int(blocks[0][0]), int(blocks[0][1])
@@ -287,8 +337,12 @@ class Aligner:
             q_seg = qseq[ls:q0][::-1]
             tlen = min(len(q_seg) + EXT_MARGIN, r0)
             t_seg = self.ref.codes[r0 - tlen:r0][::-1]
+            if flat_off is not None:
+                qd = self._qdesc(flat_off, L, part.strand, ls, q0 - ls, 1)
+                td = (r0 - 1, -1)
             left_handle = batcher.add_extend(q_seg, t_seg,
-                                             cfg.scores.end_bonus)
+                                             cfg.scores.end_bonus,
+                                             qd=qd, td=td)
             # right extension
             qe = int(blocks[-1][0] + blocks[-1][2])
             re_ = int(blocks[-1][1] + blocks[-1][2])
@@ -297,8 +351,12 @@ class Aligner:
             tlen = min(len(q_seg) + EXT_MARGIN,
                        self.ref.total_len - re_)
             t_seg = self.ref.codes[re_:re_ + tlen]
+            if flat_off is not None:
+                qd = self._qdesc(flat_off, L, part.strand, qe, rs2 - qe, 0)
+                td = (re_, 1)
             right_handle = batcher.add_extend(q_seg, t_seg,
-                                              cfg.scores.end_bonus)
+                                              cfg.scores.end_bonus,
+                                              qd=qd, td=td)
             pend.append(_PendingPart(part=part, blocks=blocks,
                                      gap_handles=gap_handles,
                                      left_handle=left_handle,

@@ -75,17 +75,25 @@ class DpBatcher:
     """Collect global/extend DP instances, run them bucketed, hand back
     per-instance results by handle. Engine (XLA+host-traceback on CPU,
     Pallas+device-traceback on TPU) is picked by ops/banded_sw.py;
-    pass `kernel` only to force a specific XLA-contract kernel (tests)."""
+    pass `kernel` only to force a specific XLA-contract kernel (tests).
 
-    def __init__(self, scores, kernel=None):
+    device_sources — (flat_read_codes_dev, ref_codes_dev) device arrays
+    — switches the Pallas engine to device-side window assembly: the
+    enqueue calls then also carry (qd, td) descriptors (see
+    ops/banded_sw.py::_dp_tb_fused_gather) and each chunk uploads ~8
+    int32 per instance instead of M + (M+W) codes."""
+
+    def __init__(self, scores, kernel=None, device_sources=None):
         self.scores = scores
         self.kernel = kernel
+        self.device_sources = device_sources
         self._inst: list[dict] = []
         self._results: list[DpResult | None] = []
 
     # ------------------------------------------------------------ enqueue
 
-    def add_global(self, q: np.ndarray, t: np.ndarray) -> int:
+    def add_global(self, q: np.ndarray, t: np.ndarray, qd=None,
+                   td=None) -> int:
         """Global alignment of q vs t (both fully consumed)."""
         idx = len(self._results)
         if len(q) == 0 and len(t) == 0:
@@ -100,11 +108,12 @@ class DpBatcher:
             self._results.append(None)
             self._inst.append({"idx": idx, "kind": "global",
                                "q": np.asarray(q, np.uint8),
-                               "t": np.asarray(t, np.uint8)})
+                               "t": np.asarray(t, np.uint8),
+                               "qd": qd, "td": td})
         return idx
 
     def add_extend(self, q: np.ndarray, t: np.ndarray,
-                   to_end_bonus: int) -> int:
+                   to_end_bonus: int, qd=None, td=None) -> int:
         """Extension from (0,0) into q/t; soft-clip decision applied:
         result consumes all of q iff to_end >= best - to_end_bonus."""
         idx = len(self._results)
@@ -116,7 +125,8 @@ class DpBatcher:
             self._inst.append({"idx": idx, "kind": "extend",
                                "q": np.asarray(q, np.uint8),
                                "t": np.asarray(t, np.uint8),
-                               "bonus": to_end_bonus})
+                               "bonus": to_end_bonus,
+                               "qd": qd, "td": td})
         return idx
 
     # ---------------------------------------------------------------- run
@@ -192,18 +202,57 @@ class DpBatcher:
     # ------------------------------------------------------- pallas engine
 
     def _dispatch_pallas(self, insts, M, W):
-        from lamsa_tpu.ops.banded_sw import dispatch_group_pallas
+        from lamsa_tpu.ops.banded_sw import (dispatch_group_pallas,
+                                             dispatch_group_pallas_gather)
         from lamsa_tpu.utils.timers import GLOBAL as STATS
         Bp = CHUNK_BY_M[(M, W)]   # one static shape per bucket
+        gather = (self.device_sources is not None
+                  and all(i["qd"] is not None for i in insts))
         with STATS.stage(f"dp_build_{M}x{W}"):
-            arrays = self._build_arrays(insts, M, W, Bp)
-        q, t_win, m_len, n_len, lo, is_global, bonus = arrays
-        STATS.count(f"dp_cells_{M}x{W}", int(m_len.sum()) * W)
+            if gather:
+                params = self._build_params(insts, M, W, Bp)
+            else:
+                arrays = self._build_arrays(insts, M, W, Bp)
+        STATS.count(f"dp_cells_{M}x{W}",
+                    sum(len(i["q"]) for i in insts) * W)
         STATS.count("dp_instances", len(insts))
         with STATS.stage(f"dp_dispatch_{M}x{W}"):
-            dev = dispatch_group_pallas(q, t_win, m_len, n_len, lo,
-                                        is_global, bonus, self.scores)
+            if gather:
+                flat_dev, ref_dev = self.device_sources
+                dev = dispatch_group_pallas_gather(params, flat_dev,
+                                                   ref_dev, self.scores,
+                                                   M, W)
+            else:
+                q, t_win, m_len, n_len, lo, is_global, bonus = arrays
+                dev = dispatch_group_pallas(q, t_win, m_len, n_len, lo,
+                                            is_global, bonus, self.scores)
         return insts, M, W, dev
+
+    def _build_params(self, insts, M, W, Bp):
+        """Descriptor arrays for the device-gather dispatch: ~8 int32
+        per instance on the wire instead of M + (M+W) codes."""
+        p = {name: np.zeros(Bp, np.int32) for name in
+             ("q_base", "q_step", "q_comp", "t_step", "m_len", "n_len",
+              "lo", "bonus")}
+        p["t_base"] = np.zeros(Bp, np.uint32)
+        p["is_global"] = np.zeros(Bp, bool)
+        p["q_step"][:] = 1
+        p["t_step"][:] = 1
+        for b, inst in enumerate(insts):
+            m, n = len(inst["q"]), len(inst["t"])
+            qb, qs, qc = inst["qd"]
+            tb, ts = inst["td"]
+            p["q_base"][b], p["q_step"][b], p["q_comp"][b] = qb, qs, qc
+            p["t_base"][b], p["t_step"][b] = tb, ts
+            p["m_len"][b], p["n_len"][b] = m, n
+            if inst["kind"] == "global":
+                need = abs(n - m) + 1
+                p["lo"][b] = min(0, n - m) - (W - need) // 2
+                p["is_global"][b] = True
+            else:
+                p["lo"][b] = -(W // 2)
+                p["bonus"][b] = inst["bonus"]
+        return p
 
     def _collect_pallas(self, insts, M, W, dev):
         from lamsa_tpu import native
