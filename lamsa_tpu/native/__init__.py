@@ -69,24 +69,33 @@ def available() -> bool:
 
 
 def _runs_to_cigar(ops: np.ndarray, n: int):
-    return [(int(o & 0xF), int(o >> 4)) for o in ops[:n]]
+    if n == 0:
+        return []
+    runs = ops[:n]
+    return list(zip((runs & 0xF).tolist(), (runs >> 4).tolist()))
 
 
 # Reused output buffers for the batch decoders. Fresh np.empty of
 # B x maxc uint32 costs ~50 us per first-touched page on this VM
 # (firecracker EPT faults) — measured 0.8-3 s per 64 MB allocation,
-# which dwarfed the actual C decode (0.6 ms). Keyed by shape; callers
-# are the (single-threaded) batch collect loops.
-_buf_cache: dict = {}
+# which dwarfed the actual C decode (0.6 ms). Keyed by shape and
+# thread-local: the batch pipeline (pipeline/aln.py align_reads) may
+# run two collect loops concurrently.
+import threading
+
+_buf_cache = threading.local()
 
 
 def _out_buffers(B: int, maxc: int):
+    cache = getattr(_buf_cache, "d", None)
+    if cache is None:
+        cache = _buf_cache.d = {}
     key = (B, maxc)
-    bufs = _buf_cache.get(key)
+    bufs = cache.get(key)
     if bufs is None:
         bufs = (np.empty((B, maxc), np.uint32), np.empty(B, np.int32))
         bufs[0].fill(0)                 # touch pages once
-        _buf_cache[key] = bufs
+        cache[key] = bufs
     return bufs
 
 

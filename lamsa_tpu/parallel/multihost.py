@@ -8,8 +8,9 @@ TPU-native design (BASELINE.json north star) is:
     index) host-RAM -> HBM — read-level data parallelism, no cross-host
     traffic in the align path;
   * the reference index is replicated per host (a whole-genome k-mer
-    index is a few GB — fits host RAM/HBM); sharded-index mode with
-    hit all-gather is a planned extension for indexes beyond HBM;
+    index is a few GB — fits host RAM/HBM); for indexes beyond per-chip
+    HBM, parallel/sharded_index.py splits the key space across the
+    chips of each host and exchanges hit lists over ICI;
   * SAM records are merged in input order via host-side collectives
     (process_allgather on per-batch byte blobs) or, for file sinks,
     per-host shard files concatenated by rank.

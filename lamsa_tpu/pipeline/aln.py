@@ -38,6 +38,11 @@ from lamsa_tpu.utils.timers import GLOBAL as STATS
 
 _EXT_CAP = 2048          # longest end extension attempted (rest soft-clips)
 
+# Reverse-complement table for SAM SEQ strings; anything outside
+# ACGTN maps to N (same behavior as the previous per-char dict lookup)
+_RC_TRANS = {i: ord("N") for i in range(256)}
+_RC_TRANS.update(str.maketrans("ACGTN", "TGCAN"))
+
 
 def _pack_hits_chain(hits, *, weight, lookback, max_dist, diag_slack):
     """Pack the per-read hit+chain arrays into 3 int32 planes for ONE
@@ -70,6 +75,23 @@ def _seed_chain_packed(rc, lens, grid, keys, starts, counts, positions, *,
     hits = seed_hits(rc.astype(jnp.int32), lens, grid, keys, starts,
                      counts, positions, k=k,
                      cands_per_seed=cands_per_seed, max_hits=max_hits)
+    return _pack_hits_chain(hits, weight=weight, lookback=lookback,
+                            max_dist=max_dist, diag_slack=diag_slack)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "cands_per_seed", "max_hits", "weight", "lookback",
+                     "max_dist", "diag_slack"))
+def _seed_chain_packed_direct(rc, lens, grid, dense_starts, dense_counts,
+                              positions, *, k, cands_per_seed, max_hits,
+                              weight, lookback, max_dist, diag_slack):
+    """Direct-address (dense 4^k table) variant — TPU engine, k <= 13."""
+    from lamsa_tpu.pipeline.seeding import seed_hits_direct
+    hits = seed_hits_direct(rc.astype(jnp.int32), lens, grid, dense_starts,
+                            dense_counts, positions, k=k,
+                            cands_per_seed=cands_per_seed,
+                            max_hits=max_hits)
     return _pack_hits_chain(hits, weight=weight, lookback=lookback,
                             max_dist=max_dist, diag_slack=diag_slack)
 
@@ -142,6 +164,15 @@ class Aligner:
         if backend_kind() == "pallas":
             self._ref_dev = jax.device_put(
                 np.ascontiguousarray(ref.codes, dtype=np.uint8))
+            if self.seed_backend == "kmer" and self.k <= 13:
+                # dense 4^k direct-address tables (2 x 256 MB HBM at
+                # k=13): one gather replaces the 23-step binary search
+                dense_s = np.zeros(4 ** self.k, np.int32)
+                dense_c = np.zeros(4 ** self.k, np.int32)
+                dense_s[index.keys] = index.starts
+                dense_c[index.keys] = index.counts
+                self._dev["dense_starts"] = jax.device_put(dense_s)
+                self._dev["dense_counts"] = jax.device_put(dense_c)
 
     # ------------------------------------------------------------- batching
 
@@ -248,9 +279,15 @@ class Aligner:
                       max_dist=cfg.chain_max_dist,
                       diag_slack=cfg.chain_diag_slack)
         if self.seed_backend == "kmer":
-            packed = _seed_chain_packed(
-                rc, lens, grid, self._dev["keys"], self._dev["starts"],
-                self._dev["counts"], self._dev["positions"], **common)
+            if "dense_starts" in self._dev:
+                packed = _seed_chain_packed_direct(
+                    rc, lens, grid, self._dev["dense_starts"],
+                    self._dev["dense_counts"], self._dev["positions"],
+                    **common)
+            else:
+                packed = _seed_chain_packed(
+                    rc, lens, grid, self._dev["keys"], self._dev["starts"],
+                    self._dev["counts"], self._dev["positions"], **common)
         else:
             packed = _seed_chain_packed_fm(
                 rc, lens, grid, self._dev, sa_rate=self.index.sa_rate,
@@ -394,9 +431,7 @@ class Aligner:
                 seq, qual = read.seq, read.qual
             else:
                 if rc_seq is None:
-                    comp = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
-                    rc_seq = "".join(comp.get(ch, "N")
-                                     for ch in reversed(read.seq))
+                    rc_seq = read.seq.translate(_RC_TRANS)[::-1]
                     rc_qual = read.qual[::-1] if read.qual else None
                 seq, qual = rc_seq, rc_qual
             sid, local_pos = self.ref.global_to_local(fr["pos"])
@@ -489,7 +524,7 @@ class Aligner:
         cigar = []
         if qs_cov > 0:
             cigar.append((OP_S, qs_cov))
-        cigar.extend((op, ln) for op, ln in merged)
+        cigar.extend(map(tuple, merged))
         if qe_cov < L:
             cigar.append((OP_S, L - qe_cov))
 
@@ -519,17 +554,54 @@ class Aligner:
 
 def align_reads(ref: PackedReference, index: KmerIndex, reads,
                 config: AlignConfig | None = None,
-                batch_size: int | None = None):
-    """Convenience: align an iterable of reads, yielding SAM record lists
-    per read in input order."""
+                batch_size: int | None = None,
+                pipeline: int | None = None,
+                aligner: "Aligner | None" = None):
+    """Align an iterable of reads, yielding SAM record lists per read in
+    input order.
+
+    pipeline — number of batches in flight (default 2 on the TPU
+    engine, 1 on CPU): while the device waits inside batch k+1's
+    seeding/DP dispatches the GIL is released, so batch k's host-side
+    skeleton/finalize Python runs concurrently — the TPU-era analogue
+    of the reference's pthread overlap of I/O and compute.
+
+    aligner — reuse a prepared Aligner (keeps the reference and jit
+    caches warm across calls)."""
     cfg = config or AlignConfig()
-    aligner = Aligner(ref, index, cfg)
-    batch: list = []
+    aligner = aligner or Aligner(ref, index, cfg)
     bs = batch_size or cfg.batch_reads
-    for r in reads:
-        batch.append(r)
-        if len(batch) >= bs:
+    if pipeline is None:
+        from lamsa_tpu.ops.banded_sw import backend_kind
+        # depth 3 measured best on the relay-attached v5e (deep enough
+        # to cover the host skeleton/finalize of one batch with the
+        # device+transfer time of two)
+        pipeline = 3 if backend_kind() == "pallas" else 1
+
+    if pipeline <= 1:
+        batch: list = []
+        for r in reads:
+            batch.append(r)
+            if len(batch) >= bs:
+                yield from aligner.align_batch(batch)
+                batch = []
+        if batch:
             yield from aligner.align_batch(batch)
-            batch = []
-    if batch:
-        yield from aligner.align_batch(batch)
+        return
+
+    import collections
+    import concurrent.futures as cf
+    futs: collections.deque = collections.deque()
+    with cf.ThreadPoolExecutor(pipeline) as ex:
+        batch = []
+        for r in reads:
+            batch.append(r)
+            if len(batch) >= bs:
+                futs.append(ex.submit(aligner.align_batch, batch))
+                batch = []
+                while len(futs) >= pipeline:
+                    yield from futs.popleft().result()
+        if batch:
+            futs.append(ex.submit(aligner.align_batch, batch))
+        while futs:
+            yield from futs.popleft().result()

@@ -70,10 +70,31 @@ def table_lookup(keys, idx_keys, idx_starts, idx_counts, idx_positions, C):
     return pos, ok
 
 
+def table_lookup_direct(keys, dense_starts, dense_counts, idx_positions,
+                        C):
+    """Direct-address variant of table_lookup: dense 4^k tables replace
+    the binary search with a single gather (k <= 13 keeps the tables at
+    2 x 256 MB; pipeline/aln.py builds them for the TPU engine)."""
+    start = dense_starts[keys]
+    count = jnp.minimum(dense_counts[keys], C)
+    offs = jnp.arange(C)[None, None, :]
+    pidx = jnp.minimum(start[..., None] + offs,
+                       idx_positions.shape[0] - 1)
+    pos = idx_positions[pidx]
+    ok = offs < count[..., None]                  # absent keys: count 0
+    return pos, ok
+
+
 def pack_hits(qpos_grid, read_len, pos_f, ok_f, pos_r, ok_r, win_ok, *,
               k, max_hits):
     """Candidate (pos, ok) pairs for both strands -> the sorted,
-    truncated per-read hit arrays (the seed_hits output contract)."""
+    truncated per-read hit arrays (the seed_hits output contract).
+
+    Sort is single-key (strand|qpos) and STABLE: each key1 value is one
+    seed window's candidate slots, which arrive rpos-ascending from the
+    position table, so the (strand, qpos, rpos) output order is
+    preserved without paying for a second sort key. (The FM path sorts
+    two-key because SA-row order is not text order.)"""
     B = read_len.shape[0]
     S, C = pos_f.shape[1], pos_f.shape[2]
     qp_f = jnp.broadcast_to(qpos_grid[None, :, None], (B, S, C)
@@ -92,7 +113,8 @@ def pack_hits(qpos_grid, read_len, pos_f, ok_f, pos_r, ok_r, win_ok, *,
     key2 = jnp.concatenate(
         [pos_f.reshape(B, S * C), pos_r.reshape(B, S * C)], axis=1)
 
-    key1, key2 = jax.lax.sort((key1, key2), dimension=1, num_keys=2)
+    key1, key2 = jax.lax.sort((key1, key2), dimension=1, num_keys=1,
+                              is_stable=True)
     key1 = key1[:, :max_hits]
     key2 = key2[:, :max_hits]
 
@@ -101,6 +123,25 @@ def pack_hits(qpos_grid, read_len, pos_f, ok_f, pos_r, ok_r, win_ok, *,
     strand = jnp.where(valid, key1 >> _QPOS_BITS, 0)
     rpos = jnp.where(valid, key2, jnp.uint32(0))
     return {"qpos": qpos, "rpos": rpos, "strand": strand, "valid": valid}
+
+
+@functools.partial(jax.jit, static_argnames=("k", "cands_per_seed",
+                                             "max_hits"))
+def seed_hits_direct(read_codes, read_len, qpos_grid, dense_starts,
+                     dense_counts, idx_positions, *, k, cands_per_seed,
+                     max_hits):
+    """seed_hits with direct-address lookup (dense 4^k start/count
+    tables) — same output contract, one gather instead of a 23-step
+    binary search per window."""
+    C = cands_per_seed
+    win, win_ok = extract_windows(read_codes, read_len, qpos_grid, k)
+    key_f, key_r = window_keys(win, k)
+    pos_f, ok_f = table_lookup_direct(key_f, dense_starts, dense_counts,
+                                      idx_positions, C)
+    pos_r, ok_r = table_lookup_direct(key_r, dense_starts, dense_counts,
+                                      idx_positions, C)
+    return pack_hits(qpos_grid, read_len, pos_f, ok_f, pos_r, ok_r, win_ok,
+                     k=k, max_hits=max_hits)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "cands_per_seed",

@@ -131,3 +131,37 @@ def test_seed_hits_with_errors_still_vote(rng):
         diags = res["rpos"][0][sel] - res["qpos"][0][sel]
         near = np.abs(diags - p.ref_start) < 400
         assert near.sum() >= 10, f"no diagonal vote for {r.name}"
+
+
+def test_seed_hits_direct_matches_search(rng):
+    """Direct-address (dense 4^k) lookup must reproduce the binary
+    search path bit-for-bit (the TPU engine uses it for k <= 13)."""
+    from lamsa_tpu.pipeline.seeding import seed_hits_direct
+    k = 9
+    genome = sim.random_genome(rng, 20000)
+    ref = codes_of(genome[0].seq)
+    idx = KmerIndex.build(ref, k)
+    reads = sim.simulate_reads(rng, genome, 8, read_len=(200, 400),
+                               sub=0.02, ins=0.03, dele=0.03)
+    L = 512
+    B = len(reads)
+    rc = np.full((B, L), 4, np.int32)
+    rl = np.zeros(B, np.int32)
+    for i, r in enumerate(reads):
+        c = codes_of(r.seq)[:L]
+        rc[i, :len(c)] = c
+        rl[i] = len(c)
+    grid = make_qpos_grid(L, k, 10)
+    common = dict(k=k, cands_per_seed=8, max_hits=256)
+    pos = idx.positions.astype(np.uint32)
+    want = seed_hits(rc, rl, grid, idx.keys, idx.starts, idx.counts,
+                     pos, **common)
+    dense_s = np.zeros(4 ** k, np.int32)
+    dense_c = np.zeros(4 ** k, np.int32)
+    dense_s[idx.keys] = idx.starts
+    dense_c[idx.keys] = idx.counts
+    got = seed_hits_direct(rc, rl, grid, dense_s, dense_c, pos, **common)
+    for name in ("qpos", "rpos", "strand", "valid"):
+        assert np.array_equal(np.asarray(got[name]),
+                              np.asarray(want[name])), name
+    assert np.asarray(want["valid"]).any()
