@@ -184,21 +184,27 @@ def make_qpos_grid(bucket_len: int, k: int, step: int):
 def seed_hits_fm(read_codes, read_len, qpos_grid, fm, *, k, cands_per_seed,
                  max_hits, sa_rate):
     """FM-index variant of seed_hits: same window extraction, same hit
-    packing/sorting contract, but candidate loci come from on-device
-    backward search + value-sampled SA resolution (ops/fm.py) instead of
-    the sorted k-mer table — the whole-genome path (HBM ~2.3 GB for
-    GRCh38 vs ~13 GB of position tables)."""
+    output contract, but candidate loci come from on-device backward
+    search + value-sampled SA resolution (ops/fm.py) instead of the
+    sorted k-mer table — the whole-genome path (HBM ~2.3 GB for GRCh38
+    vs ~13 GB of position tables).
+
+    Order of operations matters for throughput: SA-row RESOLUTION (a
+    sa_rate-step LF gather walk, ~10 gathers/step) is ~25x the cost of
+    everything else, so hits are first packed and truncated to
+    max_hits per read on their (strand, qpos, SA-row) keys, and only
+    the survivors are resolved, then re-sorted into the (strand, qpos,
+    text-pos) contract order. When a read saturates max_hits the
+    truncation boundary group keeps smallest-SA-row rather than
+    smallest-text-pos candidates — both engines share this code, so
+    engine agreement is unaffected."""
     from lamsa_tpu.ops import fm as fmops
 
     B, L = read_codes.shape
     S = qpos_grid.shape[0]
     C = cands_per_seed
 
-    win_idx = qpos_grid[:, None] + jnp.arange(k)[None, :]
-    win = read_codes[:, win_idx]                                  # (B, S, k)
-    win_ok = jnp.all(win < 4, axis=2) & (
-        (qpos_grid[None, :] + k) <= read_len[:, None])
-
+    win, win_ok = extract_windows(read_codes, read_len, qpos_grid, k)
     win_rc = (3 - win[:, :, ::-1]) & 3                            # revcomp
 
     lo_f, hi_f = fmops.backward_search(win, win_ok, fm, k)
@@ -206,14 +212,14 @@ def seed_hits_fm(read_codes, read_len, qpos_grid, fm, *, k, cands_per_seed,
 
     offs = jnp.arange(C, dtype=jnp.uint32)[None, None, :]
 
-    def cands(lo, hi):
+    def cand_rows(lo, hi):
         rows = lo[:, :, None] + offs
-        ok = rows < hi[:, :, None]
-        pos = fmops.resolve_rows(rows, ok, fm, sa_rate)
-        return pos, ok
+        return rows, rows < hi[:, :, None]
 
-    pos_f, ok_f = cands(lo_f, hi_f)
-    pos_r, ok_r = cands(lo_r, hi_r)
+    rows_f, ok_f = cand_rows(lo_f, hi_f)
+    rows_r, ok_r = cand_rows(lo_r, hi_r)
+    ok_f = ok_f & win_ok[:, :, None]
+    ok_r = ok_r & win_ok[:, :, None]
 
     qp_f = jnp.broadcast_to(qpos_grid[None, :, None], (B, S, C)
                             ).astype(jnp.int32)
@@ -226,15 +232,19 @@ def seed_hits_fm(read_codes, read_len, qpos_grid, fm, *, k, cands_per_seed,
     key1 = jnp.concatenate(
         [k1(qp_f, 0, ok_f).reshape(B, S * C),
          k1(qp_r, 1, ok_r).reshape(B, S * C)], axis=1)
-    key2 = jnp.concatenate(
-        [pos_f.reshape(B, S * C), pos_r.reshape(B, S * C)], axis=1)
+    rows = jnp.concatenate(
+        [rows_f.reshape(B, S * C), rows_r.reshape(B, S * C)], axis=1)
 
-    key1, key2 = jax.lax.sort((key1, key2), dimension=1, num_keys=2)
+    key1, rows = jax.lax.sort((key1, rows), dimension=1, num_keys=1,
+                              is_stable=True)
     key1 = key1[:, :max_hits]
-    key2 = key2[:, :max_hits]
+    rows = rows[:, :max_hits]
 
     valid = key1 < INVALID_K1
+    rpos = fmops.resolve_rows(rows, valid, fm, sa_rate)           # (B, H)
+    key1, rpos = jax.lax.sort((key1, rpos), dimension=1, num_keys=2)
+
     qpos = jnp.where(valid, key1 & ((1 << _QPOS_BITS) - 1), 0)
     strand = jnp.where(valid, key1 >> _QPOS_BITS, 0)
-    rpos = jnp.where(valid, key2, jnp.uint32(0))
+    rpos = jnp.where(valid, rpos, jnp.uint32(0))
     return {"qpos": qpos, "rpos": rpos, "strand": strand, "valid": valid}

@@ -179,3 +179,21 @@ def test_secondary_alignments_on_repeat(world):
     assert all(r.mapq == 0 for r in secs)
     # primary mapq reflects the ambiguity
     assert prim[0].mapq <= 20
+
+
+def test_pipelined_align_reads_matches_sequential(world):
+    """align_reads with batches in flight (pipeline=2) must yield the
+    same records in the same order as the sequential path."""
+    from lamsa_tpu.io.sam import format_sam_record
+    from lamsa_tpu.pipeline.aln import align_reads
+    rng, genome, ref, idx = world
+    reads = sim.simulate_reads(rng, genome, 24, read_len=(300, 800),
+                               sub=0.02, ins=0.03, dele=0.03,
+                               sv_fraction=0.2, name_prefix="pipe")
+    seq = list(align_reads(ref, idx, reads, CFG, batch_size=8,
+                           pipeline=1))
+    par = list(align_reads(ref, idx, reads, CFG, batch_size=8,
+                           pipeline=2))
+    s1 = [format_sam_record(r) for recs in seq for r in recs]
+    s2 = [format_sam_record(r) for recs in par for r in recs]
+    assert s1 == s2 and len(s1) >= 24
