@@ -56,6 +56,9 @@ def _load():
     lib.lamsa_banded_sw_cpu.restype = c
     lib.lamsa_nm_from_cigar.argtypes = [i8p, i8p, u32p, c]
     lib.lamsa_nm_from_cigar.restype = ctypes.c_int64
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.lamsa_anchors_to_blocks.argtypes = [i64p, ctypes.c_int64, c, i64p]
+    lib.lamsa_anchors_to_blocks.restype = ctypes.c_int64
     lib.lamsa_sais_u8.argtypes = [i8p, u32p, ctypes.c_int64, c]
     lib.lamsa_sais_u8.restype = c
     lib.lamsa_bwt_from_sa.argtypes = [i8p, u32p, ctypes.c_int64, i8p]
@@ -278,6 +281,20 @@ def banded_sw_cpu(q: np.ndarray, t: np.ndarray, scores, lo: int, hi: int,
     if rc != 0:
         raise ValueError(f"banded_sw_cpu failed rc={rc}")
     return int(score[0]), _runs_to_cigar(out_ops, int(out_n[0]))
+
+
+def anchors_to_blocks(anchors: np.ndarray, k: int) -> np.ndarray | None:
+    """Native chain-anchors -> exact-match blocks; returns None when the
+    native library is unavailable (caller falls back to the Python
+    spec in pipeline/skeleton.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(anchors, np.int64)
+    n = len(a)
+    out = np.empty((max(n, 1), 3), np.int64)
+    m = lib.lamsa_anchors_to_blocks(a.reshape(-1), n, k, out.reshape(-1))
+    return out[:m]
 
 
 def nm_from_cigar(q: np.ndarray, t: np.ndarray, cigar) -> int:

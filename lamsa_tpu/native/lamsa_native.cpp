@@ -298,6 +298,37 @@ int lamsa_banded_sw_tb(const uint8_t* q, int32_t m, const uint8_t* t,
                                   si, sj, out_ops, maxc, out_n);
 }
 
+// -------------------------------------------------- anchors -> blocks
+
+// Chain anchors (q, r int64 pairs, chain order) -> non-overlapping
+// exact-match blocks (q_start, r_start, length). Same-diagonal
+// contiguous anchors merge; conflicting overlaps drop the anchor.
+// Mirrors pipeline/skeleton.py::anchors_to_blocks (the spec).
+int64_t lamsa_anchors_to_blocks(const int64_t* anchors, int64_t n,
+                                int32_t k, int64_t* out_blocks) {
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t q = anchors[2 * i], r = anchors[2 * i + 1];
+        if (m == 0) {
+            out_blocks[0] = q; out_blocks[1] = r; out_blocks[2] = k;
+            m = 1;
+            continue;
+        }
+        int64_t* b = out_blocks + 3 * (m - 1);
+        int64_t bq = b[0], br = b[1], bl = b[2];
+        if (q - r == bq - br && q <= bq + bl) {
+            int64_t nl = q + k - bq;
+            if (nl > bl) b[2] = nl;
+        } else if (q >= bq + bl && r >= br + bl) {
+            out_blocks[3 * m] = q;
+            out_blocks[3 * m + 1] = r;
+            out_blocks[3 * m + 2] = k;
+            m++;
+        }
+    }
+    return m;
+}
+
 // ---------------------------------------------------------------- NM calc
 
 // nm over the core cigar (no clips) given aligned q/t code windows.

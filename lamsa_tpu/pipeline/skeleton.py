@@ -52,6 +52,23 @@ def _anchor_read_interval(q, k, strand, read_len):
     return read_len - int(q) - k, read_len - int(q)
 
 
+def _anchor_coverage(qs, k, strand, read_len):
+    """bool[read_len + 1] coverage of the anchors' read intervals
+    (vectorized equivalent of OR-ing _anchor_read_interval slices)."""
+    if strand == 0:
+        a = qs
+        b = qs + k
+    else:
+        a = read_len - qs - k
+        b = read_len - qs
+    a = np.clip(a, 0, read_len + 1)
+    b = np.clip(b, a, read_len + 1)
+    d = np.zeros(read_len + 2, np.int32)
+    np.add.at(d, a, 1)
+    np.add.at(d, b, -1)
+    return np.cumsum(d[:read_len + 1]) > 0
+
+
 def backtrack_chains(f, pred, qpos, rpos, strand, valid, *, k, read_len,
                      min_anchors=2, min_score=0, max_chains=8,
                      max_overlap_frac=0.5, keep_secondaries=0):
@@ -102,10 +119,7 @@ def backtrack_chains(f, pred, qpos, rpos, strand, valid, *, k, read_len,
             rs, re_ = q0, q1
         else:  # rc coords -> read coords
             rs, re_ = read_len - q1, read_len - q0
-        own_cov = np.zeros(read_len + 1, bool)
-        for i in idxs:
-            a, b = _anchor_read_interval(qpos[i], k, st, read_len)
-            own_cov[max(a, 0):max(b, 0)] = True
+        own_cov = _anchor_coverage(np.asarray(qpos)[idxs], k, st, read_len)
         overlap = int((own_cov & covered).sum())
         if overlap > max_overlap_frac * (re_ - rs) or len(parts) >= max_chains:
             alt_score = max(alt_score, int(f[end]))
@@ -143,13 +157,8 @@ def split_parts_on_foreign_gaps(parts, *, k, read_len, min_anchors=2,
         return parts
     if min_foreign is None:
         min_foreign = max(k, 30)
-    cov = []
-    for p in parts:
-        c = np.zeros(read_len + 1, bool)
-        for q, _r in p.anchors:
-            a, b = _anchor_read_interval(q, k, p.strand, read_len)
-            c[max(a, 0):max(b, 0)] = True
-        cov.append(c)
+    cov = [_anchor_coverage(p.anchors[:, 0], k, p.strand, read_len)
+           for p in parts]
     total = np.zeros(read_len + 1, np.int32)
     for c in cov:
         total += c
@@ -157,23 +166,26 @@ def split_parts_on_foreign_gaps(parts, *, k, read_len, min_anchors=2,
     out = []
     for pi, p in enumerate(parts):
         foreign = (total - cov[pi].astype(np.int32)) > 0
-        runs: list[list] = [[]]
-        for ai in range(p.n_anchors):
-            runs[-1].append(ai)
-            if ai == p.n_anchors - 1:
-                break
-            qa = int(p.anchors[ai, 0])
-            qb = int(p.anchors[ai + 1, 0])
-            if p.strand == 0:
-                lo_i, hi_i = qa + k, qb
-            else:
-                lo_i = read_len - qb
-                hi_i = read_len - qa - k
-            if hi_i > lo_i and int(foreign[lo_i:hi_i].sum()) >= min_foreign:
-                runs.append([])
-        if len(runs) == 1:
+        # prefix sums: foreign[lo:hi].sum() == pref[hi] - pref[lo]
+        pref = np.zeros(read_len + 2, np.int64)
+        np.cumsum(foreign, out=pref[1:])
+        qa = p.anchors[:-1, 0]
+        qb = p.anchors[1:, 0]
+        if p.strand == 0:
+            lo_i, hi_i = qa + k, qb
+        else:
+            lo_i, hi_i = read_len - qb, read_len - qa - k
+        lo_c = np.clip(lo_i, 0, read_len + 1)
+        hi_c = np.clip(hi_i, lo_c, read_len + 1)
+        cut = (hi_i > lo_i) & (pref[hi_c] - pref[lo_c] >= min_foreign)
+        if not cut.any():
             out.append(p)
             continue
+        # runs[j] = anchor indices between consecutive cut gaps
+        bounds = np.flatnonzero(cut) + 1
+        runs = [list(range(a, b)) for a, b in
+                zip(np.concatenate([[0], bounds]),
+                    np.concatenate([bounds, [p.n_anchors]]))]
         n_tot = max(p.n_anchors, 1)
         for run in runs:
             if len(run) < min_anchors:
@@ -248,8 +260,20 @@ def anchors_to_blocks(anchors: np.ndarray, k: int):
     Overlapping same-diagonal anchors merge into longer blocks;
     overlapping off-diagonal anchors are dropped (conflicts). Returns
     int64[m, 3] rows (q_start, r_start, length) with strictly
-    non-overlapping, monotone blocks.
+    non-overlapping, monotone blocks. Hot per-part loop: delegates to
+    the native C++ twin when available (this body is the spec,
+    property-tested equal in tests/test_skeleton.py).
     """
+    from lamsa_tpu import native
+    nb = native.anchors_to_blocks(anchors, k)
+    if nb is not None:
+        return nb
+    return anchors_to_blocks_py(anchors, k)
+
+
+def anchors_to_blocks_py(anchors: np.ndarray, k: int):
+    """Python spec for anchors_to_blocks (fallback + differential
+    tests)."""
     blocks: list[list[int]] = []
     for q, r in anchors:
         q, r = int(q), int(r)
@@ -262,4 +286,4 @@ def anchors_to_blocks(anchors: np.ndarray, k: int):
         elif q >= bq + bl and r >= br + bl:          # clean new block
             blocks.append([q, r, k])
         # else: conflicting overlap -> drop anchor
-    return np.asarray(blocks, dtype=np.int64)
+    return np.asarray(blocks, dtype=np.int64).reshape(-1, 3)

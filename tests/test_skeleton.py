@@ -134,3 +134,21 @@ def test_anchors_to_blocks_merge_and_conflict():
     assert blocks.shape[0] == 2
     assert list(blocks[0]) == [0, 1000, 10 + K]
     assert list(blocks[1]) == [40, 1040, K]
+
+
+def test_native_anchors_to_blocks_matches_python(rng):
+    from lamsa_tpu import native
+    from lamsa_tpu.pipeline.skeleton import anchors_to_blocks_py
+    if not native.available():
+        import pytest
+        pytest.skip("no native lib")
+    k = 13
+    for _ in range(50):
+        n = int(rng.integers(0, 60))
+        q = np.cumsum(rng.integers(1, 20, n)) + 5
+        r = q + rng.integers(-3, 4, n).cumsum() + 100
+        anchors = np.stack([q, r], axis=1).astype(np.int64) \
+            if n else np.zeros((0, 2), np.int64)
+        got = native.anchors_to_blocks(anchors, k)
+        want = anchors_to_blocks_py(anchors, k)
+        assert np.array_equal(got, want)
