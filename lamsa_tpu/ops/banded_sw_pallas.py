@@ -62,7 +62,7 @@ def _shift_left(x, s, fill, lanes, W):
 
 def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref,
             dirs_ref, hlast_ref, best_ref,
-            h_scr, f_scr, hlast_scr, best_scr, wa_scr, *,
+            h_scr, f_scr, hlast_scr, bls_scr, blr_scr, wa_scr, *,
             match, mismatch, gapo, gape, G, W, RB, n_row_blocks, DT, NEG):
     rb = pl.program_id(1)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
@@ -82,13 +82,12 @@ def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref,
         h_scr[:] = h0
         f_scr[:] = jnp.full((G, W), NEG, DT)
         hlast_scr[:] = jnp.where(m == 0, h0, NEG)
-        h032 = h0.astype(jnp.int32)       # Mosaic: no int16 reductions
-        bs = jnp.max(h032, axis=1, keepdims=True)
-        bd = jnp.min(jnp.where(h032 == bs, lanes, W), axis=1,
-                     keepdims=True)
-        col = jax.lax.broadcasted_iota(jnp.int32, (G, 8), 1)
-        best_scr[:] = jnp.where(col == 0, bs,
-                                jnp.where(col == 2, bd, 0))
+        # per-lane best tracking (score, earliest row achieving it);
+        # the cross-lane reduction happens ONCE in _fin instead of
+        # every row — the old per-row max+argmin pair was ~1/3 of the
+        # row's op budget
+        bls_scr[:] = h0.astype(jnp.int32)
+        blr_scr[:] = jnp.zeros((G, W), jnp.int32)
 
     # Lane-dim dynamic slices must be 128-aligned: slice at the block
     # start, rotate per row. q/t converted to the score dtype once per
@@ -154,17 +153,10 @@ def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref,
 
         hlast_scr[:] = jnp.where(i == m, h, hlast_scr[:])
 
-        h32 = h.astype(jnp.int32)         # Mosaic: no int16 reductions
-        rmax32 = jnp.max(h32, axis=1, keepdims=True)
-        rarg = jnp.min(jnp.where(h32 == rmax32, lanes, W), axis=1,
-                       keepdims=True)
-        best = best_scr[:]
-        improve = rmax32 > best[:, 0:1]
-        col = jax.lax.broadcasted_iota(jnp.int32, (G, 8), 1)
-        new = jnp.where(col == 0, rmax32,
-                        jnp.where(col == 1, i,
-                                  jnp.where(col == 2, rarg, 0)))
-        best_scr[:] = jnp.where(improve, new, best)
+        h32 = h.astype(jnp.int32)
+        imp = h32 > bls_scr[:]            # strict > keeps earliest row
+        bls_scr[:] = jnp.where(imp, h32, bls_scr[:])
+        blr_scr[:] = jnp.where(imp, i, blr_scr[:])
 
         h_scr[:] = h
         f_scr[:] = f_m
@@ -200,7 +192,21 @@ def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref,
     @pl.when(rb == n_row_blocks - 1)
     def _fin():
         hlast_ref[:] = hlast_scr[:].astype(jnp.int32)
-        best_ref[:] = best_scr[:]
+        # fold per-lane (score, earliest row) into the global best cell
+        # with the oracle tie-break: max score, then smallest row, then
+        # smallest lane
+        bls = bls_scr[:]
+        blr = blr_scr[:]
+        smax = jnp.max(bls, axis=1, keepdims=True)
+        at = bls == smax
+        rmin = jnp.min(jnp.where(at, blr, jnp.int32(1 << 30)), axis=1,
+                       keepdims=True)
+        dmin = jnp.min(jnp.where(at & (blr == rmin), lanes, W), axis=1,
+                       keepdims=True)
+        col = jax.lax.broadcasted_iota(jnp.int32, (G, 8), 1)
+        best_ref[:] = jnp.where(col == 0, smax,
+                                jnp.where(col == 1, rmin,
+                                          jnp.where(col == 2, dmin, 0)))
 
 
 NEG_INF16 = -30000      # int16 floor; live-path scores stay >> above it
@@ -226,7 +232,7 @@ def _pick_tile(B: int, M: int, W: int) -> int:
         est = (G * 4 * (M + (M + W))            # q + t blocks
                + 2 * G * (128 // 4) * W * 4     # dirs out block (dbl-buf)
                + G * 8 * W * 4                  # wa_scr
-               + 3 * G * W * 4)                 # h/f/hlast scratch
+               + 5 * G * W * 4)                 # h/f/hlast + lane-best
         if est <= _VMEM_BUDGET:
             return G
     return 8
@@ -298,7 +304,8 @@ def banded_sw_pallas(q, t_win, m_len, n_len, lo, *, match, mismatch, gapo,
             pltpu.VMEM((G, W), DT),
             pltpu.VMEM((G, W), DT),
             pltpu.VMEM((G, W), DT),
-            pltpu.VMEM((G, 8), jnp.int32),
+            pltpu.VMEM((G, W), jnp.int32),       # per-lane best score
+            pltpu.VMEM((G, W), jnp.int32),       # per-lane best row
             pltpu.VMEM((G, _WORDS_PER_STORE, W), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
