@@ -93,7 +93,9 @@ def cmd_aln(args) -> int:
     cfg = cfg.replace(scores=scores, seed_step=args.seed_step,
                       batch_reads=args.batch_reads,
                       band_width=args.band_width, threads=args.threads,
-                      rg_id=args.rg, emit_md=args.md)
+                      rg_id=args.rg, emit_md=args.md,
+                      sv_min_size=args.sv_min, sv_max_size=args.sv_max,
+                      report_secondary=args.secondary)
 
     # --- resume support (SURVEY.md section 5: per-batch read-stream
     # cursor): the .progress sidecar records reads fully written; on
@@ -184,6 +186,13 @@ def build_parser() -> argparse.ArgumentParser:
                          "(128/256 lanes)")
     pa.add_argument("-s", "--seed-step", type=int, default=10)
     pa.add_argument("--batch-reads", type=int, default=512)
+    pa.add_argument("-V", "--sv-max", type=int, default=100000,
+                    help="max SV size; larger ref jumps -> translocation")
+    pa.add_argument("--sv-min", type=int, default=30,
+                    help="min gap classified as an SV event")
+    pa.add_argument("--secondary", action="store_true",
+                    help="emit rejected overlapping chains as 0x100 "
+                         "secondary records")
     pa.add_argument("-R", "--rg", default=None, help="read group id")
     pa.add_argument("--md", action="store_true", help="emit MD:Z tags")
     pa.add_argument("--resume", action="store_true",

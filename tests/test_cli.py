@@ -1,0 +1,104 @@
+"""CLI surface tests (SURVEY.md section 1: the reference is driven as
+``lamsa index`` / ``lamsa aln [opts]``; our CLI mirrors that surface).
+
+Runs the real argparse entry points in-process on the CPU engine.
+"""
+
+import numpy as np
+import pytest
+
+from lamsa_tpu import cli, sim
+from lamsa_tpu.io.fasta import write_fasta, write_fastq
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cliworld")
+    rng = np.random.default_rng(11)
+    genome = sim.random_genome(rng, 30000)
+    reads = sim.simulate_reads(rng, genome, 8, read_len=(500, 1500),
+                               sv_fraction=0.25)
+    ref = str(d / "g.fa")
+    fq = str(d / "r.fq")
+    write_fasta(ref, genome)
+    write_fastq(fq, reads)
+    assert cli.main(["index", ref]) == 0
+    return d, ref, fq
+
+
+def _parse_sam(path):
+    headers, records = [], []
+    for ln in open(path):
+        (headers if ln.startswith("@") else records).append(ln.rstrip("\n"))
+    return headers, records
+
+
+def test_aln_writes_sam(world):
+    d, ref, fq = world
+    out = str(d / "out.sam")
+    assert cli.main(["aln", "-o", out, ref, fq]) == 0
+    headers, records = _parse_sam(out)
+    assert any(h.startswith("@SQ") for h in headers)
+    assert any(h.startswith("@PG") for h in headers)
+    assert len(records) >= 8
+    names = {r.split("\t", 1)[0] for r in records}
+    assert len(names) == 8                    # every read reported
+    for r in records:
+        f = r.split("\t")
+        assert f[2] == "chr1" and f[5] != "*"
+
+
+def test_aln_flag_plumbing(world):
+    """-V/--sv-min/--secondary/-R/--md must reach AlignConfig."""
+    import lamsa_tpu.pipeline.aln as aln_mod
+    seen = {}
+    orig = aln_mod.align_reads
+
+    def spy(ref, index, reads, config=None, **kw):
+        seen["cfg"] = config
+        return orig(ref, index, reads, config, **kw)
+
+    d, ref, fq = world
+    out = str(d / "out_flags.sam")
+    try:
+        aln_mod.align_reads = spy
+        assert cli.main(["aln", "-o", out, "-V", "5000", "--sv-min", "40",
+                         "--secondary", "-R", "rg7", "--md", ref, fq]) == 0
+    finally:
+        aln_mod.align_reads = orig
+    cfg = seen["cfg"]
+    assert cfg.sv_max_size == 5000
+    assert cfg.sv_min_size == 40
+    assert cfg.report_secondary is True
+    assert cfg.rg_id == "rg7"
+    assert cfg.emit_md is True
+    headers, records = _parse_sam(out)
+    assert any(h.startswith("@RG\tID:rg7") for h in headers)
+    assert all("RG:Z:rg7" in r for r in records if not
+               int(r.split("\t")[1]) & 0x100)
+    assert any("MD:Z:" in r for r in records)
+
+
+def test_aln_resume_appends(world):
+    d, ref, fq = world
+    full = str(d / "full.sam")
+    part = str(d / "part.sam")
+    assert cli.main(["aln", "-o", full, ref, fq]) == 0
+    # simulate an interrupted run: first 3 reads written, cursor at 3
+    _, full_recs = _parse_sam(full)
+    by_read = {}
+    order = []
+    for r in full_recs:
+        nm = r.split("\t", 1)[0]
+        if nm not in by_read:
+            order.append(nm)
+        by_read.setdefault(nm, []).append(r)
+    head = [r for nm in order[:3] for r in by_read[nm]]
+    full_headers, _ = _parse_sam(full)
+    with open(part, "w") as fh:
+        fh.write("\n".join(full_headers + head) + "\n")
+    with open(part + ".progress", "w") as fh:
+        fh.write("3")
+    assert cli.main(["aln", "--resume", "-o", part, ref, fq]) == 0
+    _, part_recs = _parse_sam(part)
+    assert part_recs == full_recs             # byte-identical to one run
