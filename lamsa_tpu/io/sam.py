@@ -14,10 +14,13 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
+
 __all__ = [
     "FLAG_UNMAPPED", "FLAG_REVERSE", "FLAG_SECONDARY", "FLAG_SUPPLEMENTARY",
     "SamRecord", "sam_header", "format_sam_record", "cigar_to_string",
-    "cigar_ref_len", "cigar_query_len", "CIGAR_OPS",
+    "cigar_ref_len", "cigar_query_len", "cigar_pairs", "merge_runs",
+    "CIGAR_OPS",
 ]
 
 FLAG_UNMAPPED = 0x4
@@ -33,12 +36,36 @@ _CONSUMES_REF = {OP_M, OP_D, OP_N, OP_EQ, OP_X}
 _CONSUMES_QUERY = {OP_M, OP_I, OP_S, OP_EQ, OP_X}
 
 
-def cigar_to_string(cigar: list[tuple[int, int]]) -> str:
-    """[(op, length), ...] -> SAM CIGAR string. Merges adjacent same ops."""
-    if not cigar:
-        return "*"
+def cigar_pairs(cigar):
+    """Normalize either CIGAR representation to (op, len) pairs.
+
+    Two forms coexist: [(op, len), ...] lists (oracle/spec code, tests)
+    and packed uint32 run arrays ``(len << 4) | op`` (the hot path —
+    native decoders hand these back and the pipeline stitches them
+    without per-run Python objects)."""
+    if isinstance(cigar, np.ndarray):
+        return zip((cigar & 0xF).tolist(), (cigar >> 4).tolist())
+    return iter(cigar)
+
+
+def merge_runs(runs: np.ndarray) -> np.ndarray:
+    """Drop zero-length runs and merge adjacent same-op runs of a packed
+    uint32 run array (vectorized equivalent of cigar_to_string's merge
+    loop)."""
+    runs = runs[(runs >> 4) > 0]
+    if len(runs) <= 1:
+        return runs
+    ops = runs & 0xF
+    starts = np.concatenate([[0], np.flatnonzero(ops[1:] != ops[:-1]) + 1])
+    lens = np.add.reduceat(runs >> np.uint32(4), starts)
+    return ((lens << np.uint32(4)) | ops[starts]).astype(np.uint32)
+
+
+def cigar_to_string(cigar) -> str:
+    """CIGAR (either representation) -> SAM string. Merges adjacent
+    same ops."""
     out = []
-    for op, ln in cigar:
+    for op, ln in cigar_pairs(cigar):
         if ln <= 0:
             continue
         if out and out[-1][0] == op:
@@ -60,11 +87,11 @@ def cigar_from_string(s: str) -> list[tuple[int, int]]:
 
 
 def cigar_ref_len(cigar) -> int:
-    return sum(ln for op, ln in cigar if op in _CONSUMES_REF)
+    return sum(ln for op, ln in cigar_pairs(cigar) if op in _CONSUMES_REF)
 
 
 def cigar_query_len(cigar) -> int:
-    return sum(ln for op, ln in cigar if op in _CONSUMES_QUERY)
+    return sum(ln for op, ln in cigar_pairs(cigar) if op in _CONSUMES_QUERY)
 
 
 @dataclasses.dataclass
@@ -74,7 +101,7 @@ class SamRecord:
     rname: str
     pos: int                  # 0-based; rendered 1-based
     mapq: int
-    cigar: list               # [(op, len), ...]
+    cigar: object             # [(op, len), ...] or packed uint32 runs
     seq: str
     qual: str | None = None
     tags: dict = dataclasses.field(default_factory=dict)

@@ -71,11 +71,13 @@ def available() -> bool:
     return _load() is not None
 
 
-def _runs_to_cigar(ops: np.ndarray, n: int):
-    if n == 0:
-        return []
-    runs = ops[:n]
-    return list(zip((runs & 0xF).tolist(), (runs >> 4).tolist()))
+def _runs_to_cigar(ops: np.ndarray, n: int) -> np.ndarray:
+    """Slice one decoded instance out of the shared output buffer.
+
+    Returns the packed uint32 run array itself (the pipeline-wide hot
+    CIGAR representation, io/sam.py::cigar_pairs) — copied, because the
+    buffer is reused by the next batch."""
+    return ops[:n].copy()
 
 
 # Reused output buffers for the batch decoders. Fresh np.empty of
@@ -103,6 +105,8 @@ def _out_buffers(B: int, maxc: int):
 
 
 def cigar_to_runs(cigar) -> np.ndarray:
+    if isinstance(cigar, np.ndarray):
+        return cigar
     return np.asarray([(ln << 4) | op for op, ln in cigar], np.uint32)
 
 
@@ -135,7 +139,8 @@ def decode_steps_batch(steps: np.ndarray, term: np.ndarray,
     B, M = steps.shape
     if lib is None:
         from lamsa_tpu.ops.traceback import decode_steps
-        return [decode_steps(steps[b], term[b], int(start_i[b]))
+        return [cigar_to_runs(decode_steps(steps[b], term[b],
+                                           int(start_i[b])))
                 for b in range(B)]
     steps = np.ascontiguousarray(steps, np.int32)
     term = np.ascontiguousarray(term, np.int32)
@@ -149,7 +154,8 @@ def decode_steps_batch(steps: np.ndarray, term: np.ndarray,
     for b in range(B):
         if out_n[b] < 0:  # overflow: fall back
             from lamsa_tpu.ops.traceback import decode_steps
-            res.append(decode_steps(steps[b], term[b], int(si[b])))
+            res.append(cigar_to_runs(decode_steps(steps[b], term[b],
+                                                  int(si[b]))))
         else:
             res.append(_runs_to_cigar(out_ops[b], int(out_n[b])))
     return res
@@ -162,7 +168,8 @@ def decode_steps16_batch(steps16: np.ndarray, term: np.ndarray,
     B, M2 = steps16.shape
     if lib is None:
         from lamsa_tpu.ops.traceback import decode_steps16
-        return [decode_steps16(steps16[b], term[b], int(start_i[b]))
+        return [cigar_to_runs(decode_steps16(steps16[b], term[b],
+                                             int(start_i[b])))
                 for b in range(B)]
     steps16 = np.ascontiguousarray(steps16, np.int32)
     term = np.ascontiguousarray(term, np.int32)
@@ -176,7 +183,8 @@ def decode_steps16_batch(steps16: np.ndarray, term: np.ndarray,
     for b in range(B):
         if out_n[b] < 0:
             from lamsa_tpu.ops.traceback import decode_steps16
-            res.append(decode_steps16(steps16[b], term[b], int(si[b])))
+            res.append(cigar_to_runs(decode_steps16(steps16[b], term[b],
+                                                    int(si[b]))))
         else:
             res.append(_runs_to_cigar(out_ops[b], int(out_n[b])))
     return res
@@ -194,9 +202,12 @@ def decode_compact_batch(opbits: np.ndarray, events: np.ndarray,
     E = events.shape[1]
     if lib is None:
         from lamsa_tpu.ops.traceback import decode_compact
-        return [decode_compact(opbits[b], events[b], int(term0[b]),
+        res = []
+        for b in range(B):
+            c = decode_compact(opbits[b], events[b], int(term0[b]),
                                int(start_i[b]), int(n_ev[b]))
-                for b in range(B)]
+            res.append(None if c is None else cigar_to_runs(c))
+        return res
     opbits = np.ascontiguousarray(opbits, np.int32)
     events = np.ascontiguousarray(events, np.int32)
     t0 = np.ascontiguousarray(term0, np.int32)
@@ -213,8 +224,9 @@ def decode_compact_batch(opbits: np.ndarray, events: np.ndarray,
             res.append(None)
         elif out_n[b] < 0:              # defensive: run-buffer overflow
             from lamsa_tpu.ops.traceback import decode_compact
-            res.append(decode_compact(opbits[b], events[b], int(t0[b]),
-                                      int(si[b]), int(ne[b])))
+            res.append(cigar_to_runs(decode_compact(
+                opbits[b], events[b], int(t0[b]), int(si[b]),
+                int(ne[b]))))
         else:
             res.append(_runs_to_cigar(out_ops[b], int(out_n[b])))
     return res
@@ -231,7 +243,7 @@ def banded_sw_tb(q: np.ndarray, t: np.ndarray, scores, lo: int, hi: int,
     if lib is None:
         from lamsa_tpu.ops import oracle
         _, _, _, dirs = oracle._run_dp(q, t, scores, lo, hi)
-        return oracle.traceback(dirs, si, sj)
+        return cigar_to_runs(oracle.traceback(dirs, si, sj))
     out_ops = np.empty(maxc, np.uint32)
     out_n = np.empty(1, np.int32)
     rc = lib.lamsa_banded_sw_tb(q, len(q), t, len(t), scores.match,
@@ -241,7 +253,7 @@ def banded_sw_tb(q: np.ndarray, t: np.ndarray, scores, lo: int, hi: int,
     if rc != 0 or out_n[0] < 0:
         from lamsa_tpu.ops import oracle
         _, _, _, dirs = oracle._run_dp(q, t, scores, lo, hi)
-        return oracle.traceback(dirs, si, sj)
+        return cigar_to_runs(oracle.traceback(dirs, si, sj))
     return _runs_to_cigar(out_ops, int(out_n[0]))
 
 
@@ -250,7 +262,7 @@ def traceback_banded(dirs: np.ndarray, lo: int, i: int, j: int,
     lib = _load()
     if lib is None:
         from lamsa_tpu.ops.traceback import traceback_banded as py
-        return py(dirs, lo, i, j)
+        return cigar_to_runs(py(dirs, lo, i, j))
     M, W = dirs.shape
     out_ops = np.empty(maxc, np.uint32)
     out_n = np.empty(1, np.int32)
@@ -258,7 +270,7 @@ def traceback_banded(dirs: np.ndarray, lo: int, i: int, j: int,
                                     M, W, lo, i, j, out_ops, maxc, out_n)
     if rc != 0:
         from lamsa_tpu.ops.traceback import traceback_banded as py
-        return py(dirs, lo, i, j)
+        return cigar_to_runs(py(dirs, lo, i, j))
     return _runs_to_cigar(out_ops, int(out_n[0]))
 
 

@@ -29,7 +29,7 @@ from lamsa_tpu.index.kmer import KmerIndex
 from lamsa_tpu.io.fasta import encode_seq
 from lamsa_tpu.io.refpack import PackedReference
 from lamsa_tpu.io.sam import (FLAG_REVERSE, FLAG_SUPPLEMENTARY, OP_M, OP_S,
-                              SamRecord, unmapped_record)
+                              SamRecord, merge_runs, unmapped_record)
 from lamsa_tpu.ops.chain import chain_hits
 from lamsa_tpu.pipeline.extend import EXT_MARGIN, DpBatcher, compute_nm
 from lamsa_tpu.pipeline.seeding import make_qpos_grid, seed_hits
@@ -474,7 +474,8 @@ class Aligner:
         blocks = pp.blocks
         match = cfg.scores.match
 
-        core = []                     # cigar without clips
+        # stitch the part's CIGAR as packed uint32 runs (no per-run
+        # Python objects on this hot path; io/sam.py::cigar_pairs)
         score = 0
         left = batcher.result(pp.left_handle)
         right = batcher.result(pp.right_handle)
@@ -483,31 +484,25 @@ class Aligner:
         qs_cov = q0 - left.q_used
         pos = r0 - left.t_used
         score += left.score
-        core.extend(reversed(left.cigar))
 
-        for bi, (bq, br, bl) in enumerate(blocks):
-            core.append((OP_M, int(bl)))
-            score += int(bl) * match
+        m_runs = ((blocks[:, 2].astype(np.uint32) << np.uint32(4))
+                  | np.uint32(OP_M))
+        segs = [left.cigar[::-1]]
+        score += int(blocks[:, 2].sum()) * match
+        for bi in range(len(blocks)):
+            segs.append(m_runs[bi:bi + 1])
             if bi < len(blocks) - 1:
                 g = batcher.result(pp.gap_handles[bi])
-                core.extend(g.cigar)
+                segs.append(g.cigar)
                 score += g.score
 
         qe = int(blocks[-1][0] + blocks[-1][2])
-        core.extend(right.cigar)
+        segs.append(right.cigar)
         score += right.score
         qe_cov = qe + right.q_used
 
-        # merge adjacent same ops
-        merged = []
-        for op, ln in core:
-            if ln <= 0:
-                continue
-            if merged and merged[-1][0] == op:
-                merged[-1][1] += ln
-            else:
-                merged.append([op, ln])
-        if not any(op == OP_M for op, _ in merged):
+        merged = merge_runs(np.concatenate(segs))
+        if not ((merged & 0xF) == OP_M).any():
             return None
 
         from lamsa_tpu import native
@@ -521,12 +516,12 @@ class Aligner:
             from lamsa_tpu.pipeline.extend import md_tag
             md = md_tag(q_win, t_win, merged)
 
-        cigar = []
+        clips = [merged]
         if qs_cov > 0:
-            cigar.append((OP_S, qs_cov))
-        cigar.extend(map(tuple, merged))
+            clips.insert(0, np.array([(qs_cov << 4) | OP_S], np.uint32))
         if qe_cov < L:
-            cigar.append((OP_S, L - qe_cov))
+            clips.append(np.array([((L - qe_cov) << 4) | OP_S], np.uint32))
+        cigar = np.concatenate(clips) if len(clips) > 1 else merged
 
         mapq = self._mapq(part, sk)
         # read-space span of the final alignment

@@ -21,7 +21,7 @@ import dataclasses
 
 import numpy as np
 
-from lamsa_tpu.io.sam import OP_D, OP_I, OP_M
+from lamsa_tpu.io.sam import OP_D, OP_I, OP_M, cigar_pairs
 from lamsa_tpu.ops.banded_sw_xla import banded_sw_batch, make_t_window
 from lamsa_tpu.ops.oracle import NEG_INF
 from lamsa_tpu.ops.traceback import traceback_banded
@@ -63,10 +63,17 @@ CHUNK_BY_M = {(128, 128): 4096, (256, 128): 4096, (256, 256): 2048,
 EXT_MARGIN = 48
 
 
+_EMPTY_CIGAR = np.empty(0, np.uint32)
+
+
+def _run(op: int, ln: int) -> np.ndarray:
+    return np.array([(ln << 4) | op], np.uint32)
+
+
 @dataclasses.dataclass
 class DpResult:
     score: int
-    cigar: list                 # [(op, len)]
+    cigar: np.ndarray           # packed uint32 runs ((len << 4) | op)
     q_used: int                 # query chars consumed
     t_used: int                 # target chars consumed
 
@@ -97,13 +104,13 @@ class DpBatcher:
         """Global alignment of q vs t (both fully consumed)."""
         idx = len(self._results)
         if len(q) == 0 and len(t) == 0:
-            self._results.append(DpResult(0, [], 0, 0))
+            self._results.append(DpResult(0, _EMPTY_CIGAR, 0, 0))
         elif len(q) == 0:
             s = -(self.scores.gap_open + len(t) * self.scores.gap_ext)
-            self._results.append(DpResult(s, [(OP_D, len(t))], 0, len(t)))
+            self._results.append(DpResult(s, _run(OP_D, len(t)), 0, len(t)))
         elif len(t) == 0:
             s = -(self.scores.gap_open + len(q) * self.scores.gap_ext)
-            self._results.append(DpResult(s, [(OP_I, len(q))], len(q), 0))
+            self._results.append(DpResult(s, _run(OP_I, len(q)), len(q), 0))
         else:
             self._results.append(None)
             self._inst.append({"idx": idx, "kind": "global",
@@ -119,7 +126,7 @@ class DpBatcher:
         idx = len(self._results)
         if len(q) == 0 or len(t) == 0:
             # nothing to extend into (empty query, or anchor at ref edge)
-            self._results.append(DpResult(0, [], 0, 0))
+            self._results.append(DpResult(0, _EMPTY_CIGAR, 0, 0))
         else:
             self._results.append(None)
             self._inst.append({"idx": idx, "kind": "extend",
@@ -144,7 +151,8 @@ class DpBatcher:
                 s = -(2 * self.scores.gap_open
                       + (m + n) * self.scores.gap_ext)
                 self._results[inst["idx"]] = DpResult(
-                    s, [(OP_I, m), (OP_D, n)], m, n)
+                    s, np.concatenate([_run(OP_I, m), _run(OP_D, n)]),
+                    m, n)
                 continue
             groups.setdefault(key, []).append(inst)
         self._inst = []
@@ -327,7 +335,9 @@ class DpBatcher:
                "te_d": np.asarray(te_d), "best": np.asarray(res["best"])}
 
         def cigar(b, i, j):
-            return traceback_banded(dirs[b], int(lo[b]), i, j)
+            from lamsa_tpu.native import cigar_to_runs
+            return cigar_to_runs(traceback_banded(dirs[b], int(lo[b]),
+                                                  i, j))
 
         return out, cigar
 
@@ -342,7 +352,7 @@ def compute_nm(q: np.ndarray, t: np.ndarray, cigar) -> int:
     M runs plus inserted/deleted bases."""
     nm = 0
     i = j = 0
-    for op, ln in cigar:
+    for op, ln in cigar_pairs(cigar):
         if op == OP_M:
             qs = q[i:i + ln]
             ts = t[j:j + ln]
@@ -369,7 +379,7 @@ def md_tag(q: np.ndarray, t: np.ndarray, cigar) -> str:
     out = []
     run = 0
     i = j = 0
-    for op, ln in cigar:
+    for op, ln in cigar_pairs(cigar):
         if op == OP_M:
             qs, ts = q[i:i + ln], t[j:j + ln]
             mismatch = (qs != ts) | (qs >= 4) | (ts >= 4)

@@ -53,7 +53,9 @@ def test_perfect_reads_align_exactly(world):
         assert rec.pos == p.ref_start, read.name
         assert bool(rec.flag & FLAG_REVERSE) == (p.strand == "-")
         # perfect read: single M covering everything, NM 0
-        assert rec.cigar == [(0, len(read.seq))], (read.name, rec.cigar)
+        from lamsa_tpu.io.sam import cigar_pairs
+        assert list(cigar_pairs(rec.cigar)) == [(0, len(read.seq))], \
+            (read.name, rec.cigar)
         assert rec.tags["NM"] == 0
         assert cigar_query_len(rec.cigar) == len(read.seq)
 

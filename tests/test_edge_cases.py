@@ -109,7 +109,8 @@ def test_md_tag(rng):
     total = sum(int(x) for x in _re.findall(r"\d+", md))
     dels = sum(len(x) - 1 for x in _re.findall(r"\^[ACGTN]+", md))
     from lamsa_tpu.io.sam import cigar_ref_len
-    core = [(op, ln) for op, ln in rec.cigar if op != 4]
+    from lamsa_tpu.io.sam import cigar_pairs
+    core = [(op, ln) for op, ln in cigar_pairs(rec.cigar) if op != 4]
     assert total + dels + _count_md_mismatches(md) == cigar_ref_len(core)
 
 
