@@ -87,6 +87,10 @@ def cmd_aln(args) -> int:
         index = KmerIndex.load(idx_dir)
 
     cfg = preset(args.preset)
+    if args.band_width > 256:
+        print(f"[lamsa_tpu aln] -w {args.band_width} exceeds the widest "
+              f"kernel band; clamping to 256", file=sys.stderr)
+        args.band_width = 256
     scores = ScoreParams(match=args.match, mismatch=args.mismatch,
                          gap_open=args.gap_open, gap_ext=args.gap_ext,
                          end_bonus=cfg.scores.end_bonus)
@@ -124,6 +128,23 @@ def cmd_aln(args) -> int:
     t0 = time.time()
     n_reads = 0
     n_records = 0
+    stats_fh = None
+    if args.stats:
+        from lamsa_tpu.utils.timers import GLOBAL as STATS
+        STATS.reset()
+        stats_fh = sys.stderr if args.stats == "-" else open(args.stats, "w")
+
+    def emit_stats():
+        if stats_fh is None:
+            return
+        from lamsa_tpu.utils.timers import GLOBAL as STATS
+        import json as _json
+        snap = STATS.snapshot()
+        snap["reads_done"] = skip + n_reads
+        snap["wall_total_s"] = round(time.time() - t0, 3)
+        print(_json.dumps(snap), file=stats_fh)
+        stats_fh.flush()
+
     for recs in align_reads(ref, index, read_stream(), cfg):
         n_reads += 1
         for rec in recs:
@@ -134,6 +155,7 @@ def cmd_aln(args) -> int:
             if prog_path:
                 with open(prog_path, "w") as fh:
                     fh.write(str(skip + n_reads))
+            emit_stats()
         if n_reads % 1000 == 0:
             dt = time.time() - t0
             print(f"[lamsa_tpu aln] {n_reads} reads, "
@@ -141,6 +163,9 @@ def cmd_aln(args) -> int:
     if prog_path:
         with open(prog_path, "w") as fh:
             fh.write(str(skip + n_reads))
+    emit_stats()
+    if stats_fh is not None and stats_fh is not sys.stderr:
+        stats_fh.close()
     dt = time.time() - t0
     print(f"[lamsa_tpu aln] done: {n_reads} reads -> {n_records} records "
           f"in {dt:.1f}s ({n_reads / max(dt, 1e-9):.1f} reads/s)",
@@ -197,6 +222,9 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--md", action="store_true", help="emit MD:Z tags")
     pa.add_argument("--resume", action="store_true",
                     help="resume an interrupted run (needs -o)")
+    pa.add_argument("--stats", default=None, metavar="FILE",
+                    help="emit per-batch stage timing/counter JSONL "
+                         "('-' for stderr)")
     pa.set_defaults(func=cmd_aln)
     return p
 

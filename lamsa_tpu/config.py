@@ -59,7 +59,6 @@ class AlignConfig:
     kmer: int = 13              # exact piece length for pigeonhole matching
     max_hits_per_kmer: int = 64     # drop k-mers more frequent than this
     max_cands_per_seed: int = 16    # candidate loci kept per seed
-    max_seeds_per_read: int = 128   # static shape bound (reads bucketed)
     max_hits_per_read: int = 512    # static bound on chain input
 
     # --- chaining (SURVEY.md section 3.3 sparse DP) ---
@@ -74,10 +73,10 @@ class AlignConfig:
     sv_max_size: int = 100000       # reference jump beyond this -> transloc
 
     # --- extension / banded DP (SURVEY.md section 3.4) ---
-    # band widths and gap-size buckets are fixed by the kernel bucket
-    # table (pipeline/extend.BUCKETS: W in {128, 256}, M up to 2048);
-    # band_width is accepted for reference-CLI compatibility and kept
-    # for a future tunable-band kernel
+    # Kernel bands are bucketed (pipeline/extend.BUCKETS: W in
+    # {128, 256}); band_width acts as a MINIMUM band: instances route
+    # only to buckets with W >= band_width, so -w > 128 forces the wide
+    # band everywhere. Values > 256 are clamped with a warning (cli.py).
     band_width: int = 64
 
     # --- batching / parallelism ---

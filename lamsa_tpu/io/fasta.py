@@ -2,9 +2,9 @@
 
 Equivalent of the reference's klib ``kseq.h`` streaming parser
 (SURVEY.md section 2b "klib utilities"): gzip-transparent FASTA/FASTQ
-with multi-line sequence support. A faster native C++ parser lives in
-``lamsa_tpu/native/fastx.cpp``; this module is the pure-Python engine and
-the fallback when the native library is not built.
+with multi-line sequence support. Parsing is off the hot path (the
+batch pipeline overlaps it with device work); encoding is a single
+``bytes.translate`` per read, already C-speed.
 """
 
 from __future__ import annotations

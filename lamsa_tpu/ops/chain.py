@@ -32,6 +32,13 @@ import jax.numpy as jnp
 
 NEG = -(1 << 29)
 
+# Chain-link cost = |dq - dr| + min(dq, dr) // DIST_COST_DIV: diagonal
+# drift is penalized 1:1 (each unit is a real indel the gap filler must
+# pay for); plain distance along the diagonal costs 64x less — long
+# clean links are normal in long reads, but when two candidate
+# predecessors tie on drift the nearer one wins.
+DIST_COST_DIV = 64
+
 
 @functools.partial(jax.jit, static_argnames=("weight", "lookback", "max_dist",
                                              "diag_slack"))
@@ -80,7 +87,7 @@ def chain_hits(qpos, rpos, strand, valid, *, weight, lookback, max_dist,
               & (dq > 0) & (dq <= max_dist)
               & (dr > 0) & (dr <= max_dist)
               & (jnp.abs(dq - dr) <= diag_slack))
-        cost = jnp.abs(dq - dr) + jnp.minimum(dq, dr) // 64
+        cost = jnp.abs(dq - dr) + jnp.minimum(dq, dr) // DIST_COST_DIV
         cand = jnp.where(ok, fw - cost, NEG)
         best = jnp.max(cand, axis=1)
         arg = jnp.argmax(cand, axis=1).astype(jnp.int32)

@@ -5,8 +5,9 @@ coordinates (lane d of row i = cell (i, j) with j = i + lo + d; byte
 layout in ops/oracle.py). Scores vectorize on the TPU but traceback is
 inherently sequential, so it runs on the host — O(m + n) per gap, tiny
 compared to the O(m * W) DP (SURVEY.md section 7 "Hard parts" item 2).
-A native C++ implementation lives in native/traceback.cpp; this module
-is the NumPy fallback and the semantics spec.
+A native C++ implementation lives in native/lamsa_native.cpp
+(traceback_banded); this module is the NumPy fallback and the
+semantics spec.
 """
 
 from __future__ import annotations

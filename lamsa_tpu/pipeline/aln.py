@@ -31,12 +31,17 @@ from lamsa_tpu.io.refpack import PackedReference
 from lamsa_tpu.io.sam import (FLAG_REVERSE, FLAG_SUPPLEMENTARY, OP_M, OP_S,
                               SamRecord, merge_runs, unmapped_record)
 from lamsa_tpu.ops.chain import chain_hits
-from lamsa_tpu.pipeline.extend import EXT_MARGIN, DpBatcher, compute_nm
+from lamsa_tpu.pipeline.extend import EXT_MARGIN, DpBatcher
 from lamsa_tpu.pipeline.seeding import make_qpos_grid, seed_hits
 from lamsa_tpu.pipeline.skeleton import anchors_to_blocks, build_skeleton
 from lamsa_tpu.utils.timers import GLOBAL as STATS
 
 _EXT_CAP = 2048          # longest end extension attempted (rest soft-clips)
+
+# Hit packing uses 19 bits for qpos (pipeline/seeding._QPOS_BITS);
+# longer reads would silently corrupt the strand/valid bits, so they
+# are rejected as unmapped with a warning instead.
+MAX_READ_LEN = 1 << 19
 
 # Reverse-complement table for SAM SEQ strings; anything outside
 # ACGTN maps to N (same behavior as the previous per-char dict lookup)
@@ -191,6 +196,16 @@ class Aligner:
 
         groups: dict[int, list[int]] = {}
         for i, c in enumerate(codes):
+            if len(c) > MAX_READ_LEN:
+                import warnings
+                warnings.warn(
+                    f"read {reads[i].name!r} is {len(c)} bp, beyond the "
+                    f"{MAX_READ_LEN} bp qpos-packing limit; reported "
+                    f"unmapped", stacklevel=2)
+                out[i] = [unmapped_record(reads[i].name, reads[i].seq,
+                                          reads[i].qual)]
+                codes[i] = np.empty(0, np.uint8)   # keep flat pack small
+                continue
             groups.setdefault(self._bucket_len(max(len(c), cfg.kmer + 1)),
                               []).append(i)
 
@@ -212,7 +227,8 @@ class Aligner:
             flat_offs[-1] = pos
             device_sources = (jax.device_put(flat), self._ref_dev)
 
-        batcher = DpBatcher(cfg.scores, device_sources=device_sources)
+        batcher = DpBatcher(cfg.scores, device_sources=device_sources,
+                            min_band=cfg.band_width)
         pending: list[tuple[int, list[_PendingPart], object]] = []
 
         for L, idxs in sorted(groups.items()):

@@ -90,10 +90,15 @@ class DpBatcher:
     ops/banded_sw.py::_dp_tb_fused_gather) and each chunk uploads ~8
     int32 per instance instead of M + (M+W) codes."""
 
-    def __init__(self, scores, kernel=None, device_sources=None):
+    def __init__(self, scores, kernel=None, device_sources=None,
+                 min_band: int = 0):
         self.scores = scores
         self.kernel = kernel
         self.device_sources = device_sources
+        # min_band: the CLI -w knob — instances route only to buckets
+        # with W >= min_band (config.AlignConfig.band_width)
+        self.buckets = tuple(b for b in BUCKETS if b[1] >= min_band) \
+            or BUCKETS[-1:]
         self._inst: list[dict] = []
         self._results: list[DpResult | None] = []
 
@@ -142,7 +147,7 @@ class DpBatcher:
         groups: dict[tuple, list] = {}
         for inst in self._inst:
             m, n = len(inst["q"]), len(inst["t"])
-            for M, W in BUCKETS:
+            for M, W in self.buckets:
                 if _bucket_fits(inst["kind"], m, n, M, W):
                     key = (M, W)
                     break

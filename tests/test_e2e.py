@@ -199,3 +199,31 @@ def test_pipelined_align_reads_matches_sequential(world):
     s1 = [format_sam_record(r) for recs in seq for r in recs]
     s2 = [format_sam_record(r) for recs in par for r in recs]
     assert s1 == s2 and len(s1) >= 24
+
+
+def test_overlong_read_rejected_unmapped(world):
+    """Reads beyond the qpos-packing limit (pipeline/aln.MAX_READ_LEN)
+    must come back unmapped with a warning, not corrupt hit packing."""
+    import warnings
+
+    import lamsa_tpu.pipeline.aln as aln_mod
+    from lamsa_tpu.io.fasta import FastxRecord
+    from lamsa_tpu.pipeline.aln import align_reads
+
+    rng_, genome, ref, idx = world
+    old = aln_mod.MAX_READ_LEN
+    aln_mod.MAX_READ_LEN = 4096        # avoid building a real 512kb read
+    try:
+        rng = np.random.default_rng(5)
+        good = sim.simulate_reads(rng, genome, 1, read_len=(900, 1000))[0]
+        bad = FastxRecord(name="huge", seq="ACGT" * 2000, qual=None)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            recs = list(align_reads(ref, idx, [good, bad, good],
+                                    config=CFG))
+        assert any("qpos-packing limit" in str(x.message) for x in w)
+        assert len(recs) == 3
+        assert recs[1][0].flag & 0x4           # unmapped
+        assert not (recs[0][0].flag & 0x4) and not (recs[2][0].flag & 0x4)
+    finally:
+        aln_mod.MAX_READ_LEN = old
