@@ -46,14 +46,17 @@ def extract_scores(h_last, m_len, n_len, lo):
     return g, te, te_d
 
 
-def run_group_xla(q, t_win, m_len, n_len, lo, scores):
+def run_group_xla(q, t_win, m_len, n_len, lo, scores, zdrop=None):
     """XLA engine + host traceback. Returns a 'group result' object the
-    batcher post-processes: dict with numpy arrays + a cigar() closure."""
+    batcher post-processes: dict with numpy arrays + a cigar() closure.
+    zdrop: optional int32[B] per-instance extension termination
+    (0 = off; globals must pass 0)."""
     from lamsa_tpu import native
     from lamsa_tpu.ops.banded_sw_xla import banded_sw_batch
 
     res = banded_sw_batch(jnp.asarray(q, jnp.int32),
                           jnp.asarray(t_win, jnp.int32), m_len, n_len, lo,
+                          zdrop,
                           match=scores.match, mismatch=scores.mismatch,
                           gapo=scores.gap_open, gape=scores.gap_ext)
     g, te, te_d = extract_scores(res["h_last"], m_len, n_len, lo)
@@ -82,7 +85,7 @@ def compact_E(M: int) -> int:
 
 
 def _dp_tb_core(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
-                mismatch, gapo, gape):
+                mismatch, gapo, gape, zdrop=0):
     """Banded DP -> score extraction -> clip decision -> on-device
     traceback -> compact encode (shared by the upload and the
     device-gather entries below). Returns ONE packed int32 array
@@ -97,7 +100,10 @@ def _dp_tb_core(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
     from lamsa_tpu.ops.banded_sw_pallas import banded_sw_pallas
     from lamsa_tpu.ops.traceback_pallas import traceback_pallas
 
-    res = banded_sw_pallas(q, t_win, m_len, n_len, lo, match=match,
+    # zdrop applies to extensions only (a global gap fill must reach
+    # its end regardless of interior dips — SV interiors dip hard)
+    zd = jnp.where(is_global, 0, jnp.int32(zdrop))
+    res = banded_sw_pallas(q, t_win, m_len, n_len, lo, zd, match=match,
                            mismatch=mismatch, gapo=gapo, gape=gape)
     g, te, te_d = extract_scores(res["h_last"], m_len, n_len, lo)
     best = res["best"]
@@ -137,21 +143,23 @@ def _dp_tb_core(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
 
 
 @functools.partial(jax.jit, static_argnames=("match", "mismatch", "gapo",
-                                             "gape"))
+                                             "gape", "zdrop"))
 def _dp_tb_fused(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
-                 mismatch, gapo, gape):
+                 mismatch, gapo, gape, zdrop=0):
     """Upload entry: q/t_win arrive as host-assembled (B, M) / (B, M+W)
     arrays, possibly uint8 (1 byte/base on the relay); cast on device."""
     return _dp_tb_core(q.astype(jnp.int32), t_win.astype(jnp.int32),
                        m_len, n_len, lo, is_global, bonus, match=match,
-                       mismatch=mismatch, gapo=gapo, gape=gape)
+                       mismatch=mismatch, gapo=gapo, gape=gape,
+                       zdrop=zdrop)
 
 
 @functools.partial(jax.jit, static_argnames=("M", "W", "match", "mismatch",
-                                             "gapo", "gape"))
+                                             "gapo", "gape", "zdrop"))
 def _dp_tb_fused_gather(flat_reads, ref_codes, q_base, q_step, q_comp,
                         t_base, t_step, m_len, n_len, lo, is_global,
-                        bonus, *, M, W, match, mismatch, gapo, gape):
+                        bonus, *, M, W, match, mismatch, gapo, gape,
+                        zdrop=0):
     """Device-gather entry: q and t windows are assembled ON DEVICE from
     the resident flat read-code array and reference-code array, so the
     per-chunk host->device upload is ~8 int32 per instance instead of
@@ -171,7 +179,7 @@ def _dp_tb_fused_gather(flat_reads, ref_codes, q_base, q_step, q_comp,
                               M=M, W=W)
     return _dp_tb_core(q, t_win, m_len, n_len, lo, is_global, bonus,
                        match=match, mismatch=mismatch, gapo=gapo,
-                       gape=gape)
+                       gape=gape, zdrop=zdrop)
 
 
 def gather_windows(flat_reads, ref_codes, q_base, q_step, q_comp, t_base,
@@ -202,7 +210,8 @@ def dispatch_group_pallas(q, t_win, m_len, n_len, lo, is_global, bonus,
     device array (no sync). Pair with collect_group_pallas."""
     return _dp_tb_fused(q, t_win, m_len, n_len, lo, is_global, bonus,
                         match=scores.match, mismatch=scores.mismatch,
-                        gapo=scores.gap_open, gape=scores.gap_ext)
+                        gapo=scores.gap_open, gape=scores.gap_ext,
+                        zdrop=scores.zdrop)
 
 
 def dispatch_group_pallas_gather(params: dict, flat_dev, ref_dev, scores,
@@ -215,7 +224,7 @@ def dispatch_group_pallas_gather(params: dict, flat_dev, ref_dev, scores,
         params["m_len"], params["n_len"], params["lo"],
         params["is_global"], params["bonus"], M=M, W=W,
         match=scores.match, mismatch=scores.mismatch,
-        gapo=scores.gap_open, gape=scores.gap_ext)
+        gapo=scores.gap_open, gape=scores.gap_ext, zdrop=scores.zdrop)
 
 
 def collect_group_pallas(packed_dev, M):

@@ -60,9 +60,9 @@ def _shift_left(x, s, fill, lanes, W):
     return jnp.where(lanes >= W - s, fill, pltpu.roll(x, W - s, axis=1))
 
 
-def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref,
+def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref, zdrop_ref,
             dirs_ref, hlast_ref, best_ref,
-            h_scr, f_scr, hlast_scr, bls_scr, blr_scr, wa_scr, *,
+            h_scr, f_scr, hlast_scr, bls_scr, blr_scr, alive_scr, wa_scr, *,
             match, mismatch, gapo, gape, G, W, RB, n_row_blocks, DT, NEG):
     rb = pl.program_id(1)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
@@ -88,6 +88,7 @@ def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref,
         # row's op budget
         bls_scr[:] = h0.astype(jnp.int32)
         blr_scr[:] = jnp.zeros((G, W), jnp.int32)
+        alive_scr[:] = jnp.ones((G, W), jnp.int32)
 
     # Lane-dim dynamic slices must be 128-aligned: slice at the block
     # start, rotate per row. q/t converted to the score dtype once per
@@ -151,10 +152,14 @@ def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref,
                   | (f_ext_bit.astype(jnp.int32) << 3))
         d_byte = jnp.where(live, d_byte, 0)
 
-        hlast_scr[:] = jnp.where(i == m, h, hlast_scr[:])
+        # zdrop-frozen instances stop updating h_last and the best cell
+        # (the DP itself free-runs so dirs match the XLA engine, which
+        # cannot skip rows; ops/oracle.py ZDROP_GROUP contract)
+        aliveb = alive_scr[:] > 0
+        hlast_scr[:] = jnp.where((i == m) & aliveb, h, hlast_scr[:])
 
         h32 = h.astype(jnp.int32)
-        imp = h32 > bls_scr[:]            # strict > keeps earliest row
+        imp = (h32 > bls_scr[:]) & aliveb  # strict > keeps earliest row
         bls_scr[:] = jnp.where(imp, h32, bls_scr[:])
         blr_scr[:] = jnp.where(imp, i, blr_scr[:])
 
@@ -164,12 +169,15 @@ def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref,
 
     # Skip 32-row groups entirely above every instance's query length in
     # this tile (instances are sorted by length by the batcher, so tiles
-    # of short gaps skip most of M). Dirs for skipped rows stay garbage
-    # in HBM — the traceback never reads rows above its start cell.
+    # of short gaps skip most of M), and once every instance in the tile
+    # has z-dropped. Dirs for skipped rows stay garbage in HBM — the
+    # traceback never reads rows above its start cell (always <= the
+    # zstop row for a dropped extension).
     max_m = jnp.max(mlen_ref[:])
 
     def group_body(g, _):
-        @pl.when(rb * RB + g * _ROWS_PER_GROUP < max_m)
+        @pl.when((rb * RB + g * _ROWS_PER_GROUP < max_m)
+                 & (jnp.max(alive_scr[:]) > 0))
         def _run():
             def word_body(w, _):
                 def row4_body(p, word_acc):
@@ -185,6 +193,14 @@ def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref,
             jax.lax.fori_loop(0, _WORDS_PER_STORE, word_body, 0)
             off = pl.multiple_of(g * _WORDS_PER_STORE, _WORDS_PER_STORE)
             dirs_ref[:, pl.ds(off, _WORDS_PER_STORE), :] = wa_scr[:]
+            # end-of-group zdrop check (ops/oracle.py ZDROP_GROUP
+            # contract): freeze instances whose current row max fell
+            # more than zdrop below their running best
+            zs = zdrop_ref[:, 0][:, None]
+            cur = jnp.max(h_scr[:], axis=1, keepdims=True).astype(jnp.int32)
+            bb = jnp.max(bls_scr[:], axis=1, keepdims=True)
+            kill = (zs > 0) & (cur < bb - zs)
+            alive_scr[:] = jnp.where(kill, 0, alive_scr[:])
         return 0
 
     jax.lax.fori_loop(0, RB // _ROWS_PER_GROUP, group_body, 0)
@@ -242,9 +258,10 @@ def _pick_tile(B: int, M: int, W: int) -> int:
                                              "gape", "with_dirs",
                                              "instance_tile", "interpret",
                                              "score_dtype"))
-def banded_sw_pallas(q, t_win, m_len, n_len, lo, *, match, mismatch, gapo,
-                     gape, with_dirs=True, instance_tile=None,
-                     interpret=False, score_dtype="int32"):
+def banded_sw_pallas(q, t_win, m_len, n_len, lo, zdrop=None, *, match,
+                     mismatch, gapo, gape, with_dirs=True,
+                     instance_tile=None, interpret=False,
+                     score_dtype="int32"):
     # NOTE: score_dtype="int16" is implemented and bit-exact in
     # interpret mode, but this environment's Mosaic rejects it at
     # compile time ("Rotate with non-32-bit data" — tpu.dynamic_rotate
@@ -252,12 +269,18 @@ def banded_sw_pallas(q, t_win, m_len, n_len, lo, *, match, mismatch, gapo,
     # kernel's dominant op. Re-enable as default when Mosaic grows
     # 16-bit rotates; expected ~2x cells/s.
     """Pallas TPU implementation of ops.banded_sw_xla.banded_sw_batch
-    (same h_last/best contract and the same direction-byte semantics,
-    but direction bytes come back packed 4-rows-per-int32 under key
-    "dirs32" — use unpack_dirs, or index words directly as the native
-    traceback does). Batch B must be a multiple of instance_tile."""
+    (same h_last/best contract — including per-instance zdrop
+    extension termination at 32-row-group granularity, ops/oracle.py
+    ZDROP_GROUP — and the same direction-byte semantics, but direction
+    bytes come back packed 4-rows-per-int32 under key "dirs32" — use
+    unpack_dirs, or index words directly as the native traceback does).
+    Batch B must be a multiple of instance_tile."""
+    from lamsa_tpu.ops.oracle import ZDROP_GROUP
+    assert ZDROP_GROUP == _ROWS_PER_GROUP  # zdrop checks ride store groups
     B, M = q.shape
     W = t_win.shape[1] - M
+    if zdrop is None:
+        zdrop = jnp.zeros((B,), jnp.int32)
     if score_dtype == "int16":
         DT, NEG = np.int16, np.int16(NEG_INF16)
         G = instance_tile or 16      # int16 native sublane tile is 16
@@ -284,7 +307,7 @@ def banded_sw_pallas(q, t_win, m_len, n_len, lo, *, match, mismatch, gapo,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((G, M + W), lambda ib, rb: (ib, 0),
                          memory_space=pltpu.VMEM),
-            scalar_spec, scalar_spec, scalar_spec,
+            scalar_spec, scalar_spec, scalar_spec, scalar_spec,
         ],
         out_specs=[
             pl.BlockSpec((G, RB // _ROWS_PER_WORD, W),
@@ -306,13 +329,15 @@ def banded_sw_pallas(q, t_win, m_len, n_len, lo, *, match, mismatch, gapo,
             pltpu.VMEM((G, W), DT),
             pltpu.VMEM((G, W), jnp.int32),       # per-lane best score
             pltpu.VMEM((G, W), jnp.int32),       # per-lane best row
+            pltpu.VMEM((G, W), jnp.int32),       # alive (zdrop) flag
             pltpu.VMEM((G, _WORDS_PER_STORE, W), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=B * M * W * 20, bytes_accessed=B * M * W,
             transcendentals=0),
         interpret=interpret,
-    )(q, t_win, m_len.reshape(B, 1), n_len.reshape(B, 1), lo.reshape(B, 1))
+    )(q, t_win, m_len.reshape(B, 1), n_len.reshape(B, 1), lo.reshape(B, 1),
+      zdrop.reshape(B, 1))
 
     result = {"h_last": h_last, "best": best[:, :3]}
     if with_dirs:

@@ -38,8 +38,8 @@ T_SENTINEL = 5  # target padding code; never matches (like N)
 
 @functools.partial(jax.jit, static_argnames=("match", "mismatch", "gapo",
                                              "gape", "with_dirs"))
-def banded_sw_batch(q, t_win, m_len, n_len, lo, *, match, mismatch, gapo,
-                    gape, with_dirs=True):
+def banded_sw_batch(q, t_win, m_len, n_len, lo, zdrop=None, *, match,
+                    mismatch, gapo, gape, with_dirs=True):
     """Run banded affine DP on a batch of instances.
 
     Args:
@@ -49,16 +49,24 @@ def banded_sw_batch(q, t_win, m_len, n_len, lo, *, match, mismatch, gapo,
       m_len: int32[B]       query lengths (rows actually meaningful).
       n_len: int32[B]       target lengths.
       lo:    int32[B]       band low offset (j - i >= lo); must be <= 0.
+      zdrop: int32[B] or None — per-instance extension-termination
+             threshold (0/None = disabled): at every ZDROP_GROUP-th row
+             (ops/oracle.py contract), an instance whose row max fell
+             more than zdrop below its running best freezes (best and
+             h_last stop updating; the DP itself keeps running so
+             direction bytes match the no-zdrop run bit-for-bit).
       scores: match/mismatch/gapo/gape as python ints (static).
 
     Returns dict of:
       dirs:   uint8[B, M, W]  direction bytes for rows 1..M (row i at
               index i-1); all-zero rows beyond m_len. Omitted when
               with_dirs=False.
-      h_last: int32[B, W]     H row at i == m_len (global score row).
-      best:   int32[B, 3]     (score, i, d) of max-H cell over all rows
+      h_last: int32[B, W]     H row at i == m_len (global score row;
+              stays NEG_INF if the instance z-dropped before row m).
+      best:   int32[B, 3]     (score, i, d) of max-H cell over live rows
               including row 0; ties -> smallest i, then smallest d.
     """
+    from lamsa_tpu.ops.oracle import ZDROP_GROUP
     B, M = q.shape
     W = t_win.shape[1] - M
     lanes = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
@@ -79,9 +87,12 @@ def banded_sw_batch(q, t_win, m_len, n_len, lo, *, match, mismatch, gapo,
 
     h_last0 = jnp.where((m_len == 0)[:, None], h0,
                         jnp.full((B, W), NEG_INF, jnp.int32))
+    zd = jnp.zeros((B,), jnp.int32) if zdrop is None \
+        else jnp.asarray(zdrop, jnp.int32)
+    alive0 = jnp.ones((B,), jnp.bool_)
 
     def row_step(carry, i):
-        h_prev, f_prev, h_last, best = carry
+        h_prev, f_prev, h_last, best, alive = carry
         j = i + lo_b + lanes                       # (B, W) target column
         valid = (j >= 0) & (j <= n_b)
 
@@ -138,21 +149,25 @@ def banded_sw_batch(q, t_win, m_len, n_len, lo, *, match, mismatch, gapo,
                 | (f_ext_bit.astype(jnp.int32) << 3)).astype(jnp.uint8)
         dirs = jnp.where(in_rows & valid, dirs, jnp.uint8(0))
 
-        h_last = jnp.where((i == m_len)[:, None], h, h_last)
+        h_last = jnp.where(((i == m_len) & alive)[:, None], h, h_last)
 
         row_max = jnp.max(h, axis=1)
         row_arg = jnp.argmax(h, axis=1).astype(jnp.int32)
-        improve = row_max > best[:, 0]
+        improve = (row_max > best[:, 0]) & alive
         best = jnp.where(
             improve[:, None],
             jnp.stack([row_max, jnp.full_like(row_arg, i), row_arg], axis=1),
             best)
+        # group-boundary zdrop check (after this row's best update,
+        # mirroring the Pallas kernel's end-of-store-group check)
+        alive = alive & ~((i % ZDROP_GROUP == 0) & (zd > 0)
+                          & (row_max < best[:, 0] - zd))
 
         out = dirs if with_dirs else jnp.zeros((B, 0), jnp.uint8)
-        return (h, f_m, h_last, best), out
+        return (h, f_m, h_last, best, alive), out
 
-    (h, f, h_last, best), dirs = jax.lax.scan(
-        row_step, (h0, f0, h_last0, best0), jnp.arange(1, M + 1))
+    (h, f, h_last, best, _), dirs = jax.lax.scan(
+        row_step, (h0, f0, h_last0, best0, alive0), jnp.arange(1, M + 1))
 
     result = {"h_last": h_last, "best": best}
     if with_dirs:

@@ -34,6 +34,17 @@ from lamsa_tpu.io.sam import OP_D, OP_I, OP_M
 
 NEG_INF = -(1 << 29)
 
+# zdrop (extension termination, SURVEY.md section 3.4 ksw_extend
+# semantics) is checked at row-GROUP granularity: after every
+# ZDROP_GROUP-th DP row, an extension whose current row max has fallen
+# more than zdrop below its running best freezes — later rows update
+# neither the best cell nor the to-end row (so the clip decision falls
+# back to the best cell). Group granularity (= the Pallas kernel's
+# 32-row store group) keeps the device kernels free of per-row
+# cross-lane reductions; all engines implement this contract
+# bit-identically.
+ZDROP_GROUP = 32
+
 H_FROM_DIAG = 0
 H_FROM_E = 1
 H_FROM_F = 2
@@ -163,17 +174,25 @@ def banded_global(q, t, scores, band_lo=None, band_hi=None):
     return score, cig
 
 
-def banded_extend(q, t, scores, band_lo=None, band_hi=None):
+def banded_extend(q, t, scores, band_lo=None, band_hi=None, zdrop=0):
     """Extension alignment anchored at (0, 0) (ksw_extend-style,
     SURVEY.md section 3.4): align a prefix of q against a prefix of t,
     maximizing score over all cells.
+
+    zdrop > 0 enables group-granular extension termination (see
+    ZDROP_GROUP above): at each row i that is a multiple of
+    ZDROP_GROUP, if max(H[i]) < running_best - zdrop, rows beyond i
+    update neither best nor to_end (to_end survives only if already
+    reached, i.e. termination at i == m exactly).
 
     Returns dict with:
       best:    (score, qend, tend) of the max-scoring cell
                (ties -> smaller i, then smaller j),
       to_end:  (score, tend) best cell in the last row (whole query
-               consumed; None if the last row is outside the band),
-      cigar_best / cigar_to_end: tracebacks to those cells.
+               consumed; None if the last row is outside the band or
+               the extension z-dropped before reaching it),
+      cigar_best / cigar_to_end: tracebacks to those cells,
+      zstop:   terminating row (None if never terminated).
     The soft-clip decision (use to_end if to_end >= best - end_bonus)
     is made by the caller.
     """
@@ -186,17 +205,28 @@ def banded_extend(q, t, scores, band_lo=None, band_hi=None):
         band_hi = n
     if m == 0:
         return {"best": (0, 0, 0), "to_end": (0, 0),
-                "cigar_best": [], "cigar_to_end": []}
+                "cigar_best": [], "cigar_to_end": [], "zstop": None}
     H, _, _, dirs = _run_dp(q, t, scores, band_lo, band_hi)
     Hv = H.copy()
     Hv[Hv <= NEG_INF] = NEG_INF
-    # best over all cells; tie -> smaller i then smaller j (argmax order).
-    flat = int(np.argmax(Hv))
+    zstop = None
+    if zdrop and zdrop > 0:
+        row_max = Hv.max(axis=1)
+        run_best = int(row_max[0])
+        for i in range(1, m + 1):
+            run_best = max(run_best, int(row_max[i]))
+            if i % ZDROP_GROUP == 0 and row_max[i] < run_best - zdrop:
+                zstop = i
+                break
+    lim = m if zstop is None else zstop
+    # best over live rows; tie -> smaller i then smaller j (argmax order).
+    flat = int(np.argmax(Hv[:lim + 1]))
     bi, bj = divmod(flat, n + 1)
     best = (int(Hv[bi, bj]), bi, bj)
-    out = {"best": best, "cigar_best": traceback(dirs, bi, bj)}
+    out = {"best": best, "cigar_best": traceback(dirs, bi, bj),
+           "zstop": zstop}
     last = Hv[m, :]
-    if last.max() > NEG_INF:
+    if last.max() > NEG_INF and lim >= m:
         tj = int(np.argmax(last))
         out["to_end"] = (int(last[tj]), tj)
         out["cigar_to_end"] = traceback(dirs, m, tj)

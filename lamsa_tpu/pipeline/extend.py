@@ -306,8 +306,10 @@ class DpBatcher:
         if self.kernel is not None:
             out, cigar = self._run_explicit(q, t_win, m_len, n_len, lo)
         else:
+            zdrop = np.where(is_global, 0,
+                             np.int32(self.scores.zdrop)).astype(np.int32)
             out, cigar = run_group_xla(q, t_win, m_len, n_len, lo,
-                                       self.scores)
+                                       self.scores, zdrop)
 
         best = out["best"]
         for b, inst in enumerate(insts):

@@ -90,3 +90,39 @@ def test_pallas_interpret_empty_and_padded(rng):
         mb = int(m_len[b])
         np.testing.assert_array_equal(got_dirs[b, :mb], ref_dirs[b, :mb],
                                       err_msg=f"instance {b}")
+
+
+def test_pallas_zdrop_matches_xla(rng):
+    """Per-instance zdrop termination: pallas (interpret) == XLA on
+    best cell and h_last (dirs may legitimately diverge in fully
+    skipped row groups, which traceback never reads)."""
+    M, W = 512, 128
+    B = 16
+    q = np.zeros((B, M), np.int32)
+    t_win = np.zeros((B, M + W), np.int32)
+    m_len = np.zeros(B, np.int32)
+    n_len = np.zeros(B, np.int32)
+    lo = np.full(B, -(W // 2), np.int32)
+    zdrop = np.zeros(B, np.int32)
+    for b in range(B):
+        n = int(rng.integers(300, 480))
+        t = rng.integers(0, 4, n).astype(np.uint8)
+        qq = t.copy()
+        a = int(rng.integers(64, 200))
+        ln = int(rng.integers(16, 96))
+        qq[a:a + ln] = 4                      # N block forces a dip
+        m_len[b] = n_len[b] = n
+        q[b, :n] = qq
+        t_win[b] = make_t_window(t, int(lo[b]), M, W)
+        zdrop[b] = int(rng.choice([0, 30, 60, 150]))
+    kw = dict(match=S.match, mismatch=S.mismatch, gapo=S.gap_open,
+              gape=S.gap_ext)
+    ref = banded_sw_batch(q, t_win, m_len, n_len, lo, zdrop, **kw)
+    got = banded_sw_pallas(q, t_win, m_len, n_len, lo, zdrop,
+                           interpret=True, **kw)
+    FLOOR = -20000
+    np.testing.assert_array_equal(
+        np.maximum(np.asarray(got["h_last"]), FLOOR),
+        np.maximum(np.asarray(ref["h_last"]), FLOOR))
+    np.testing.assert_array_equal(np.asarray(got["best"]),
+                                  np.asarray(ref["best"]))

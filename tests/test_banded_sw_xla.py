@@ -155,3 +155,52 @@ def test_large_band_bucket(rng):
     cig = traceback_banded(np.asarray(res["dirs"])[0], int(lo[0]),
                            len(q), len(t))
     assert cig == exp_cig
+
+
+def test_zdrop_matches_oracle(rng):
+    """XLA kernel with per-instance zdrop == oracle banded_extend with
+    the same zdrop (best cell + h_last availability)."""
+    from lamsa_tpu.ops.banded_sw_xla import (banded_sw_batch, make_t_window)
+    from lamsa_tpu.ops.oracle import NEG_INF, banded_extend
+
+    S = ScoreParams()
+    M, W = 512, 128
+    B = 8
+    q = np.zeros((B, M), np.int32)
+    t_win = np.zeros((B, M + W), np.int32)
+    m_len = np.zeros(B, np.int32)
+    n_len = np.zeros(B, np.int32)
+    lo = np.full(B, -(W // 2), np.int32)
+    zdrop = np.zeros(B, np.int32)
+    ts = []
+    for b in range(B):
+        n = int(rng.integers(300, 480))
+        t = rng.integers(0, 4, n).astype(np.uint8)
+        qq = t.copy()
+        # corrupt a random interior window to force score dips
+        a = int(rng.integers(100, 200))
+        ln = int(rng.integers(16, 80))
+        qq[a:a + ln] = (qq[a:a + ln] + 1 + rng.integers(0, 3, ln)) % 4
+        m_len[b] = n_len[b] = n
+        q[b, :n] = qq
+        t_win[b] = make_t_window(t, int(lo[b]), M, W)
+        zdrop[b] = int(rng.choice([0, 30, 60, 100]))
+        ts.append((qq, t))
+    res = banded_sw_batch(q, t_win, m_len, n_len, lo, zdrop,
+                          match=S.match, mismatch=S.mismatch,
+                          gapo=S.gap_open, gape=S.gap_ext)
+    best = np.asarray(res["best"])
+    h_last = np.asarray(res["h_last"])
+    for b in range(B):
+        qq, t = ts[b]
+        o = banded_extend(qq, t, S, band_lo=int(lo[b]),
+                          band_hi=int(lo[b]) + W - 1, zdrop=int(zdrop[b]))
+        assert tuple(best[b]) == (o["best"][0], o["best"][1],
+                                  o["best"][2] - o["best"][1] - int(lo[b])), b
+        if o["to_end"] is None:
+            assert h_last[b].max() <= NEG_INF, b
+        else:
+            d = np.arange(W) + int(m_len[b]) + int(lo[b])
+            row = np.where((d >= 0) & (d <= int(n_len[b])), h_last[b],
+                           NEG_INF)
+            assert row.max() == o["to_end"][0], b

@@ -118,3 +118,30 @@ def _count_md_mismatches(md: str) -> int:
     import re as _re
     no_dels = _re.sub(r"\^[ACGTN]+", "", md)
     return len(_re.findall(r"[ACGTN]", no_dels))
+
+
+def test_zdrop_clips_extension_at_junk():
+    """DpBatcher extend honors ScoreParams.zdrop: a junk block followed
+    by a spurious recovery stops at the pre-junk peak when zdrop is on,
+    but extends through when off (SURVEY.md section 3.4 ksw_extend)."""
+    import numpy as np
+
+    from lamsa_tpu.config import ScoreParams
+    from lamsa_tpu.pipeline.extend import DpBatcher
+
+    rng = np.random.default_rng(9)
+    t = rng.integers(0, 4, 456).astype(np.uint8)
+    q = t.copy()
+    q[224:256] = 4                      # drop 69 at group boundary 256
+
+    on = DpBatcher(ScoreParams(zdrop=50))
+    h_on = on.add_extend(q, t, to_end_bonus=5)
+    on.run()
+    r_on = on.result(h_on)
+    assert r_on.q_used == 224 and r_on.score == 224
+
+    off = DpBatcher(ScoreParams(zdrop=0))
+    h_off = off.add_extend(q, t, to_end_bonus=5)
+    off.run()
+    r_off = off.result(h_off)
+    assert r_off.q_used == 456 and r_off.score == 328

@@ -164,3 +164,32 @@ def test_extend_clip_decision_case(rng):
     assert score == 30
     # consuming the whole query costs mismatches
     assert r["to_end"][0] < score
+
+
+def test_zdrop_group_semantics():
+    """zdrop freezes best/to_end at the first ZDROP_GROUP boundary whose
+    row max dropped > zdrop below the running best (SURVEY.md section
+    3.4 ksw_extend termination)."""
+    from lamsa_tpu.config import ScoreParams
+    from lamsa_tpu.ops.oracle import banded_extend
+
+    S = ScoreParams()
+    rng = np.random.default_rng(3)
+    t = rng.integers(0, 4, 456).astype(np.uint8)
+    q = t.copy()
+    q[224:256] = 4                     # 32 N rows: never match anything
+    # cheapest crossing of the N block at row 256 is a 32-insertion
+    # (gapo + 32*gape = 69), so the boundary-256 drop is exactly 69;
+    # the full-query path is 424 matches - 32 N-mismatches = 328
+    res_off = banded_extend(q, t, S, band_lo=-64, band_hi=63, zdrop=0)
+    assert res_off["zstop"] is None
+    assert res_off["best"][0] == 456 - 32 * (1 + S.mismatch)  # 328
+    assert res_off["to_end"][0] == res_off["best"][0]
+    res_on = banded_extend(q, t, S, band_lo=-64, band_hi=63, zdrop=50)
+    assert res_on["zstop"] == 256
+    assert res_on["best"] == (224, 224, 224)
+    assert res_on["to_end"] is None
+    # the 69-drop survives zdrop=100 (checks only at group boundaries)
+    res_hi = banded_extend(q, t, S, band_lo=-64, band_hi=63, zdrop=100)
+    assert res_hi["zstop"] is None
+    assert res_hi["best"][0] == 328
