@@ -101,6 +101,39 @@ def cmd_aln(args) -> int:
                       sv_min_size=args.sv_min, sv_max_size=args.sv_max,
                       report_secondary=args.secondary)
 
+    # --- multi-chip data parallelism (SURVEY.md section 5 distributed
+    # row): shard every device stage's batch dim over a mesh of N local
+    # chips; index replicated per chip; SAM identical to 1-chip.
+    mesh = None
+    if args.devices != 1:
+        import jax
+
+        from lamsa_tpu.parallel.mesh import make_mesh
+        avail = jax.devices()
+        n = len(avail) if args.devices == 0 else args.devices
+        if n > len(avail):
+            print(f"[lamsa_tpu aln] --devices {n} requested but only "
+                  f"{len(avail)} available", file=sys.stderr)
+            return 1
+        if n > 1:
+            mesh = make_mesh(avail[:n])
+            print(f"[lamsa_tpu aln] data-parallel over {n} devices",
+                  file=sys.stderr)
+
+    # --- multi-host read sharding: process P of M owns batches
+    # b == P (mod M); shard outputs are merged in input order by
+    # `lamsa merge` (parallel/multihost.py design).
+    n_shards, shard_id = args.num_shards, args.shard_id
+    if n_shards > 1:
+        if not args.output:
+            print("[lamsa_tpu aln] --num-shards requires -o",
+                  file=sys.stderr)
+            return 1
+        if not (0 <= shard_id < n_shards):
+            print(f"[lamsa_tpu aln] --shard-id {shard_id} out of range",
+                  file=sys.stderr)
+            return 1
+
     # --- resume support (SURVEY.md section 5: per-batch read-stream
     # cursor): the .progress sidecar records reads fully written; on
     # --resume we skip that many input reads and append.
@@ -119,8 +152,21 @@ def cmd_aln(args) -> int:
         cl = " ".join(sys.argv[1:])
         print(sam_header(ref, f"lamsa_tpu aln {cl}", rg_id=cfg.rg_id),
               file=out)
+        if n_shards > 1:
+            print(f"@CO\tlamsa_tpu_shard:{shard_id}/{n_shards}\t"
+                  f"batch_reads:{cfg.batch_reads}", file=out)
 
     def read_stream():
+        if n_shards > 1:
+            bs = cfg.batch_reads
+            n_seen = 0
+            for i, r in enumerate(read_fastx(args.reads)):
+                if (i // bs) % n_shards != shard_id:
+                    continue
+                if n_seen >= skip:
+                    yield r
+                n_seen += 1
+            return
         for i, r in enumerate(read_fastx(args.reads)):
             if i >= skip:
                 yield r
@@ -145,7 +191,7 @@ def cmd_aln(args) -> int:
         print(_json.dumps(snap), file=stats_fh)
         stats_fh.flush()
 
-    for recs in align_reads(ref, index, read_stream(), cfg):
+    for recs in align_reads(ref, index, read_stream(), cfg, mesh=mesh):
         n_reads += 1
         for rec in recs:
             print(format_sam_record(rec), file=out)
@@ -172,6 +218,67 @@ def cmd_aln(args) -> int:
           file=sys.stderr)
     if args.output:
         out.close()
+    return 0
+
+
+def cmd_merge(args) -> int:
+    """Merge per-shard SAM files (from ``aln --num-shards M --shard-id
+    P``) into one input-ordered SAM: batches were assigned round-robin
+    (batch b -> shard b mod M), so the merge interleaves whole batches
+    from the shard files in rank order (parallel/multihost.py design,
+    file-sink flavor)."""
+    shards = []
+    headers = None
+    batch_reads = None
+    for path in args.shards:
+        head, recs = [], []
+        for ln in open(path):
+            ln = ln.rstrip("\n")
+            (head if ln.startswith("@") else recs).append(ln)
+            if ln.startswith("@CO\tlamsa_tpu_shard:"):
+                batch_reads = int(ln.rsplit("batch_reads:", 1)[1])
+        if headers is None:
+            headers = [h for h in head
+                       if not h.startswith("@CO\tlamsa_tpu_shard:")]
+        shards.append(recs)
+    if batch_reads is None:
+        batch_reads = args.batch_reads
+    M = len(shards)
+
+    def read_groups(lines):
+        """Records grouped per read (a read's records are consecutive)."""
+        groups, cur, prev = [], [], None
+        for ln in lines:
+            qn = ln.split("\t", 1)[0]
+            if qn != prev and cur:
+                groups.append(cur)
+                cur = []
+            cur.append(ln)
+            prev = qn
+        if cur:
+            groups.append(cur)
+        return groups
+
+    queues = [read_groups(s) for s in shards]
+    pos = [0] * M
+    out = open(args.output, "w") if args.output else sys.stdout
+    for h in headers:
+        print(h, file=out)
+    b = 0
+    n_reads = 0
+    while any(pos[p] < len(queues[p]) for p in range(M)):
+        p = b % M
+        take = queues[p][pos[p]:pos[p] + batch_reads]
+        pos[p] += len(take)
+        for grp in take:
+            n_reads += 1
+            for ln in grp:
+                print(ln, file=out)
+        b += 1
+    if args.output:
+        out.close()
+    print(f"[lamsa_tpu merge] {M} shards -> {n_reads} reads",
+          file=sys.stderr)
     return 0
 
 
@@ -225,7 +332,25 @@ def build_parser() -> argparse.ArgumentParser:
     pa.add_argument("--stats", default=None, metavar="FILE",
                     help="emit per-batch stage timing/counter JSONL "
                          "('-' for stderr)")
+    pa.add_argument("-d", "--devices", type=int, default=1,
+                    help="local chips for data-parallel alignment "
+                         "(0 = all)")
+    pa.add_argument("--num-shards", type=int, default=1,
+                    help="total aln processes (multi-host read sharding)")
+    pa.add_argument("--shard-id", type=int, default=0,
+                    help="this process's shard index (0-based)")
     pa.set_defaults(func=cmd_aln)
+
+    pm = sub.add_parser("merge",
+                        help="merge per-shard SAMs (aln --num-shards) "
+                             "into input order")
+    pm.add_argument("shards", nargs="+",
+                    help="shard SAM files in --shard-id order")
+    pm.add_argument("-o", "--output", default=None)
+    pm.add_argument("--batch-reads", type=int, default=512,
+                    help="batch size used by the aln runs (read from "
+                         "@CO headers when present)")
+    pm.set_defaults(func=cmd_merge)
     return p
 
 

@@ -205,26 +205,78 @@ def gather_windows(flat_reads, ref_codes, q_base, q_step, q_comp, t_base,
 
 
 def dispatch_group_pallas(q, t_win, m_len, n_len, lo, is_global, bonus,
-                          scores):
+                          scores, mesh=None):
     """Async launch of the fused DP+decide+traceback chain; returns the
-    device array (no sync). Pair with collect_group_pallas."""
+    device array (no sync). Pair with collect_group_pallas. With a
+    mesh, the instance dim is sharded across chips (shard_map: Pallas
+    custom calls are opaque to GSPMD, so each chip runs the kernel on
+    its local shard — read-level data parallelism, zero collectives)."""
+    if mesh is not None:
+        fn = _sharded_upload_fn(mesh, scores.match, scores.mismatch,
+                                scores.gap_open, scores.gap_ext,
+                                scores.zdrop)
+        return fn(q, t_win, m_len, n_len, lo, is_global, bonus)
     return _dp_tb_fused(q, t_win, m_len, n_len, lo, is_global, bonus,
                         match=scores.match, mismatch=scores.mismatch,
                         gapo=scores.gap_open, gape=scores.gap_ext,
                         zdrop=scores.zdrop)
 
 
+_PARAM_ORDER = ("q_base", "q_step", "q_comp", "t_base", "t_step",
+                "m_len", "n_len", "lo", "is_global", "bonus")
+
+
 def dispatch_group_pallas_gather(params: dict, flat_dev, ref_dev, scores,
-                                 M: int, W: int):
+                                 M: int, W: int, mesh=None):
     """Async launch of the device-gather fused chain. `params` holds the
-    per-instance descriptor arrays (see _dp_tb_fused_gather)."""
+    per-instance descriptor arrays (see _dp_tb_fused_gather). With a
+    mesh, descriptors are sharded along the instance dim and the
+    read/ref code arrays are replicated (every chip gathers its own
+    shard's windows locally — no collectives)."""
+    args = tuple(params[k] for k in _PARAM_ORDER)
+    if mesh is not None:
+        fn = _sharded_gather_fn(mesh, M, W, scores.match, scores.mismatch,
+                                scores.gap_open, scores.gap_ext,
+                                scores.zdrop)
+        return fn(flat_dev, ref_dev, *args)
     return _dp_tb_fused_gather(
-        flat_dev, ref_dev, params["q_base"], params["q_step"],
-        params["q_comp"], params["t_base"], params["t_step"],
-        params["m_len"], params["n_len"], params["lo"],
-        params["is_global"], params["bonus"], M=M, W=W,
+        flat_dev, ref_dev, *args, M=M, W=W,
         match=scores.match, mismatch=scores.mismatch,
         gapo=scores.gap_open, gape=scores.gap_ext, zdrop=scores.zdrop)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_gather_fn(mesh, M, W, match, mismatch, gapo, gape, zdrop):
+    from jax.sharding import PartitionSpec as P
+
+    from lamsa_tpu.parallel.mesh import DATA_AXIS
+    S = P(DATA_AXIS)
+
+    def body(flat, refc, *args):
+        return _dp_tb_fused_gather(flat, refc, *args, M=M, W=W,
+                                   match=match, mismatch=mismatch,
+                                   gapo=gapo, gape=gape, zdrop=zdrop)
+
+    # check_vma=False: pallas_call outputs carry no varying-axis
+    # metadata, and the body is purely per-shard anyway
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, check_vma=False,
+        in_specs=(P(), P()) + (S,) * len(_PARAM_ORDER), out_specs=S))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_upload_fn(mesh, match, mismatch, gapo, gape, zdrop):
+    from jax.sharding import PartitionSpec as P
+
+    from lamsa_tpu.parallel.mesh import DATA_AXIS
+    S = P(DATA_AXIS)
+
+    def body(*args):
+        return _dp_tb_fused(*args, match=match, mismatch=mismatch,
+                            gapo=gapo, gape=gape, zdrop=zdrop)
+
+    return jax.jit(jax.shard_map(body, mesh=mesh, check_vma=False,
+                                 in_specs=(S,) * 7, out_specs=S))
 
 
 def collect_group_pallas(packed_dev, M):

@@ -137,14 +137,29 @@ class _PendingPart:
 class Aligner:
     """index: a KmerIndex (small/medium genomes) or FmIndex
     (whole-genome; ~2.3 GB HBM for GRCh38 vs ~13 GB of position
-    tables)."""
+    tables).
+
+    mesh: optional jax.sharding.Mesh for read-level data parallelism
+    (SURVEY.md section 5 distributed row): index/reference arrays are
+    replicated per chip, every device stage — seeding gathers, chain
+    scan, banded DP + traceback — shards its batch/instance dim, and
+    host skeleton/finalize stay per-read. Output SAM is byte-identical
+    to the single-device run (tests/test_parallel.py)."""
 
     def __init__(self, ref: PackedReference, index,
-                 config: AlignConfig | None = None):
+                 config: AlignConfig | None = None, mesh=None):
         from lamsa_tpu.index.fmindex import FmIndex
         self.ref = ref
         self.index = index
         self.config = config or AlignConfig()
+        self.mesh = mesh
+        self._rep = None
+        if mesh is not None:
+            n = mesh.devices.size
+            assert n & (n - 1) == 0, \
+                f"mesh size {n} must be a power of two (chunk divisibility)"
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._rep = NamedSharding(mesh, P())
         if isinstance(index, FmIndex):
             from lamsa_tpu.ops.fm import device_arrays
             self.seed_backend = "fm"
@@ -159,6 +174,11 @@ class Aligner:
                 "counts": jnp.asarray(index.counts),
                 "positions": jnp.asarray(index.positions.astype(np.uint32)),
             }
+        if self._rep is not None:
+            # replicate the index tables once per chip (SURVEY.md
+            # section 5: per-chip index replica; whole-genome FM fits)
+            self._dev = {k: jax.device_put(v, self._rep)
+                         for k, v in self._dev.items()}
         self._grids = {}
         # Pallas engine: the reference codes live on device once, and
         # DP windows are gathered there (ops/banded_sw.py
@@ -168,7 +188,8 @@ class Aligner:
         self._ref_dev = None
         if backend_kind() == "pallas":
             self._ref_dev = jax.device_put(
-                np.ascontiguousarray(ref.codes, dtype=np.uint8))
+                np.ascontiguousarray(ref.codes, dtype=np.uint8),
+                self._rep)
             if self.seed_backend == "kmer" and self.k <= 13:
                 # dense 4^k direct-address tables (2 x 256 MB HBM at
                 # k=13): one gather replaces the 23-step binary search
@@ -176,8 +197,10 @@ class Aligner:
                 dense_c = np.zeros(4 ** self.k, np.int32)
                 dense_s[index.keys] = index.starts
                 dense_c[index.keys] = index.counts
-                self._dev["dense_starts"] = jax.device_put(dense_s)
-                self._dev["dense_counts"] = jax.device_put(dense_c)
+                self._dev["dense_starts"] = jax.device_put(dense_s,
+                                                           self._rep)
+                self._dev["dense_counts"] = jax.device_put(dense_c,
+                                                           self._rep)
 
     # ------------------------------------------------------------- batching
 
@@ -225,10 +248,11 @@ class Aligner:
                 flat[pos:pos + len(c)] = c
                 pos += len(c)
             flat_offs[-1] = pos
-            device_sources = (jax.device_put(flat), self._ref_dev)
+            device_sources = (jax.device_put(flat, self._rep),
+                              self._ref_dev)
 
         batcher = DpBatcher(cfg.scores, device_sources=device_sources,
-                            min_band=cfg.band_width)
+                            min_band=cfg.band_width, mesh=self.mesh)
         pending: list[tuple[int, list[_PendingPart], object]] = []
 
         for L, idxs in sorted(groups.items()):
@@ -280,14 +304,27 @@ class Aligner:
         cfg = self.config
         B = len(idxs)
         Bp = max(8, 1 << (B - 1).bit_length())
+        if self.mesh is not None:
+            Bp = max(Bp, self.mesh.devices.size)   # both powers of two
         rc = np.full((Bp, L), 4, np.uint8)       # 1 byte/base upload
         lens = np.zeros(Bp, np.int32)
         for b, ri in enumerate(idxs):
             c = codes[ri][:L]
             rc[b, :len(c)] = c
             lens[b] = len(c)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from lamsa_tpu.parallel.mesh import DATA_AXIS
+            sh = lambda a, nd: jax.device_put(  # noqa: E731
+                a, NamedSharding(self.mesh,
+                                 P(DATA_AXIS, *([None] * (nd - 1)))))
+            rc, lens = sh(rc, 2), sh(lens, 1)
         if L not in self._grids:
-            self._grids[L] = make_qpos_grid(L, self.k, cfg.seed_step)
+            g = make_qpos_grid(L, self.k, cfg.seed_step)
+            if self._rep is not None:
+                g = jax.device_put(g, self._rep)
+            self._grids[L] = g
         grid = self._grids[L]
         common = dict(k=self.k, cands_per_seed=cfg.max_cands_per_seed,
                       max_hits=cfg.max_hits_per_read, weight=self.k,
@@ -567,7 +604,8 @@ def align_reads(ref: PackedReference, index: KmerIndex, reads,
                 config: AlignConfig | None = None,
                 batch_size: int | None = None,
                 pipeline: int | None = None,
-                aligner: "Aligner | None" = None):
+                aligner: "Aligner | None" = None,
+                mesh=None):
     """Align an iterable of reads, yielding SAM record lists per read in
     input order.
 
@@ -580,7 +618,7 @@ def align_reads(ref: PackedReference, index: KmerIndex, reads,
     aligner — reuse a prepared Aligner (keeps the reference and jit
     caches warm across calls)."""
     cfg = config or AlignConfig()
-    aligner = aligner or Aligner(ref, index, cfg)
+    aligner = aligner or Aligner(ref, index, cfg, mesh=mesh)
     bs = batch_size or cfg.batch_reads
     if pipeline is None:
         from lamsa_tpu.ops.banded_sw import backend_kind

@@ -91,16 +91,31 @@ class DpBatcher:
     int32 per instance instead of M + (M+W) codes."""
 
     def __init__(self, scores, kernel=None, device_sources=None,
-                 min_band: int = 0):
+                 min_band: int = 0, mesh=None):
         self.scores = scores
         self.kernel = kernel
         self.device_sources = device_sources
+        # mesh: data-parallel jax.sharding.Mesh — DP chunks shard their
+        # instance dim across it (parallel/mesh.py read-level DP)
+        self.mesh = mesh
         # min_band: the CLI -w knob — instances route only to buckets
         # with W >= min_band (config.AlignConfig.band_width)
         self.buckets = tuple(b for b in BUCKETS if b[1] >= min_band) \
             or BUCKETS[-1:]
         self._inst: list[dict] = []
         self._results: list[DpResult | None] = []
+
+    def _shard(self, *arrays):
+        """Place arrays with the leading dim sharded over the mesh."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from lamsa_tpu.parallel.mesh import DATA_AXIS
+        out = [jax.device_put(
+            a, NamedSharding(self.mesh, P(DATA_AXIS,
+                                          *([None] * (a.ndim - 1)))))
+            for a in arrays]
+        return tuple(out)
 
     # ------------------------------------------------------------ enqueue
 
@@ -231,14 +246,20 @@ class DpBatcher:
         STATS.count("dp_instances", len(insts))
         with STATS.stage(f"dp_dispatch_{M}x{W}"):
             if gather:
+                if self.mesh is not None:
+                    params = dict(zip(params.keys(),
+                                      self._shard(*params.values())))
                 flat_dev, ref_dev = self.device_sources
                 dev = dispatch_group_pallas_gather(params, flat_dev,
                                                    ref_dev, self.scores,
-                                                   M, W)
+                                                   M, W, mesh=self.mesh)
             else:
+                arrays = self._shard(*arrays) if self.mesh is not None \
+                    else arrays
                 q, t_win, m_len, n_len, lo, is_global, bonus = arrays
                 dev = dispatch_group_pallas(q, t_win, m_len, n_len, lo,
-                                            is_global, bonus, self.scores)
+                                            is_global, bonus, self.scores,
+                                            mesh=self.mesh)
         return insts, M, W, dev
 
     def _build_params(self, insts, M, W, Bp):
@@ -297,6 +318,9 @@ class DpBatcher:
         from lamsa_tpu.ops.banded_sw import backend_kind, run_group_xla
         B = len(insts)
         Bp = max(8, 1 << (B - 1).bit_length())
+        if self.mesh is not None:
+            n = self.mesh.devices.size
+            Bp = -(-Bp // n) * n
         q, t_win, m_len, n_len, lo, is_global, bonus = \
             self._build_arrays(insts, M, W, Bp)
 
@@ -308,8 +332,12 @@ class DpBatcher:
         else:
             zdrop = np.where(is_global, 0,
                              np.int32(self.scores.zdrop)).astype(np.int32)
-            out, cigar = run_group_xla(q, t_win, m_len, n_len, lo,
-                                       self.scores, zdrop)
+            args = (q, t_win, m_len, n_len, lo, zdrop)
+            if self.mesh is not None:
+                # XLA engine under a mesh: shard the instance dim; the
+                # row scan partitions along it with no collectives
+                args = self._shard(*args)
+            out, cigar = run_group_xla(*args[:5], self.scores, args[5])
 
         best = out["best"]
         for b, inst in enumerate(insts):

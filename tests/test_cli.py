@@ -136,3 +136,37 @@ def test_band_width_clamped_and_routed(world, capsys):
     _, recs_b = _parse_sam(base)
     assert {r.split("\t", 1)[0] for r in recs_w} \
         == {r.split("\t", 1)[0] for r in recs_b}
+
+
+def test_shard_and_merge_matches_single_run(world):
+    """aln --num-shards/--shard-id + merge == one unsharded run,
+    byte-identical records (multi-host read sharding, SURVEY.md
+    section 5 distributed row)."""
+    d, ref, fq = world
+    base = str(d / "whole.sam")
+    assert cli.main(["aln", "-o", base, "--batch-reads", "3",
+                     ref, fq]) == 0
+    s0 = str(d / "s0.sam")
+    s1 = str(d / "s1.sam")
+    for sid, path in ((0, s0), (1, s1)):
+        assert cli.main(["aln", "-o", path, "--batch-reads", "3",
+                         "--num-shards", "2", "--shard-id", str(sid),
+                         ref, fq]) == 0
+    merged = str(d / "merged.sam")
+    assert cli.main(["merge", "-o", merged, s0, s1]) == 0
+    _, want = _parse_sam(base)
+    _, got = _parse_sam(merged)
+    assert got == want
+
+
+def test_devices_flag_mesh_matches_single(world):
+    """aln --devices 8 (virtual CPU mesh) == --devices 1, byte-identical
+    records (production multi-chip path)."""
+    d, ref, fq = world
+    one = str(d / "dev1.sam")
+    eight = str(d / "dev8.sam")
+    assert cli.main(["aln", "-o", one, ref, fq]) == 0
+    assert cli.main(["aln", "-o", eight, "-d", "8", ref, fq]) == 0
+    _, r1 = _parse_sam(one)
+    _, r8 = _parse_sam(eight)
+    assert r1 == r8

@@ -45,3 +45,98 @@ def test_batch_sharding_placement():
     # each device holds 32/8 = 4 rows
     shard_shapes = {s.data.shape for s in xs.addressable_shards}
     assert shard_shapes == {(4, 4)}
+
+
+def _sam_lines(out):
+    from lamsa_tpu.io.sam import format_sam_record
+    return [format_sam_record(r) for recs in out for r in recs]
+
+
+def test_production_aligner_mesh_byte_identical():
+    """The PRODUCTION pipeline (Aligner.align_batch through SAM) on an
+    8-device mesh must emit byte-identical SAM to the single-device
+    run — read-level data parallelism with replicated index
+    (SURVEY.md section 5 distributed row)."""
+    from lamsa_tpu import sim
+    from lamsa_tpu.config import AlignConfig, ScoreParams
+    from lamsa_tpu.index.kmer import KmerIndex
+    from lamsa_tpu.io.fasta import encode_seq
+    from lamsa_tpu.io.refpack import PackedReference
+    from lamsa_tpu.pipeline.aln import Aligner
+
+    rng = np.random.default_rng(17)
+    genome = sim.random_genome(rng, 60000)
+    codes = np.frombuffer(encode_seq(genome[0].seq), np.uint8)
+    ref = PackedReference(names=["chr1"],
+                          offsets=np.array([0, len(codes)], np.int64),
+                          codes=codes,
+                          amb_runs=np.zeros((0, 2), np.int64))
+    idx = KmerIndex.build(ref.codes, 13)
+    reads = sim.simulate_reads(rng, genome, 24, read_len=(500, 2000),
+                               sv_fraction=0.3)
+    cfg = AlignConfig(scores=ScoreParams(match=1, mismatch=3, gap_open=2,
+                                         gap_ext=1), seed_step=10)
+    single = _sam_lines(Aligner(ref, idx, cfg).align_batch(reads))
+    mesh = make_mesh(jax.devices())
+    sharded = _sam_lines(Aligner(ref, idx, cfg, mesh=mesh)
+                         .align_batch(reads))
+    assert single == sharded
+    assert len(single) >= 24
+
+
+def test_pallas_kernel_under_shard_map():
+    """The Pallas DP kernel (interpret mode) under jax.shard_map over
+    the 8-device mesh == unsharded run — validates the structure the
+    TPU engine uses for multi-chip dispatch
+    (ops/banded_sw._sharded_upload_fn)."""
+    from jax.sharding import PartitionSpec as P
+
+    from lamsa_tpu.config import ScoreParams
+    from lamsa_tpu.ops.banded_sw_pallas import banded_sw_pallas
+    from lamsa_tpu.ops.banded_sw_xla import make_t_window, prepare_band
+
+    rng = np.random.default_rng(23)
+    S = ScoreParams()
+    # per-shard batch must stay a multiple of the minimum instance
+    # tile (8); production chunk sizes (extend.CHUNK_BY_M >= 256) keep
+    # per-shard batches >= 32 on an 8-chip mesh
+    B, M, W = 64, 128, 128
+    q = np.zeros((B, M), np.int32)
+    t_win = np.zeros((B, M + W), np.int32)
+    m_len = np.zeros(B, np.int32)
+    n_len = np.zeros(B, np.int32)
+    lo = np.zeros(B, np.int32)
+    for b in range(B):
+        n = int(rng.integers(30, 100))
+        t = rng.integers(0, 4, n).astype(np.uint8)
+        m_len[b] = n_len[b] = n
+        lo[b] = prepare_band(n, n, W)
+        q[b, :n] = t
+        t_win[b] = make_t_window(t, int(lo[b]), M, W)
+    zd = np.zeros(B, np.int32)
+    kw = dict(match=S.match, mismatch=S.mismatch, gapo=S.gap_open,
+              gape=S.gap_ext, interpret=True)
+    ref_out = banded_sw_pallas(q, t_win, m_len, n_len, lo, zd, **kw)
+
+    mesh = make_mesh(jax.devices())
+    sp = P(DATA_AXIS)
+
+    def body(*args):
+        return banded_sw_pallas(*args, **kw)
+
+    got = jax.jit(jax.shard_map(body, mesh=mesh, in_specs=(sp,) * 6,
+                                out_specs=sp, check_vma=False))(q, t_win, m_len, n_len,
+                                               lo, zd)
+    np.testing.assert_array_equal(np.asarray(got["h_last"]),
+                                  np.asarray(ref_out["h_last"]))
+    np.testing.assert_array_equal(np.asarray(got["best"]),
+                                  np.asarray(ref_out["best"]))
+    # dirs beyond an instance's own rows are skipped-group garbage and
+    # legitimately differ (per-shard max_m < global max_m); traceback
+    # only ever reads rows < m_len
+    from lamsa_tpu.ops.banded_sw_pallas import unpack_dirs
+    d_got = unpack_dirs(np.asarray(got["dirs32"]))
+    d_ref = unpack_dirs(np.asarray(ref_out["dirs32"]))
+    for b in range(B):
+        np.testing.assert_array_equal(d_got[b, :m_len[b]],
+                                      d_ref[b, :m_len[b]])
