@@ -241,6 +241,26 @@ def main():
     except Exception as e:  # noqa: BLE001
         log(f"10kb section failed ({e}); continuing")
 
+    # harsh CLR error profile (SURVEY.md section 1: real PacBio CLR is
+    # ~10-15%+ total error) — recall must hold without approximate
+    # seeding because chain density verifies (config.py seeding note)
+    recall15, bp_acc = 0.0, 0.0
+    try:
+        from lamsa_tpu import sim
+        from lamsa_tpu.eval import evaluate
+        from lamsa_tpu.pipeline.aln import Aligner
+        rngh = np.random.default_rng(SEED + 2)
+        harsh = sim.simulate_reads(rngh, genome, 64, read_len=READ_LEN,
+                                   sub=0.05, ins=0.06, dele=0.04,
+                                   sv_fraction=0.35)
+        ah = Aligner(ref, idx, cfg)
+        sth = evaluate(ah.align_batch(harsh), harsh)
+        recall15, bp_acc = sth.part_recall, sth.bp_acc_20
+        log(f"15%-error profile (sub=0.05 ins=0.06 del=0.04): "
+            f"{sth.summary()}")
+    except Exception as e:  # noqa: BLE001
+        log(f"harsh-error section failed ({e}); continuing")
+
     result = {
         "metric": "e2e_reads_per_s_per_chip",
         "value": round(reads_per_s, 2),
@@ -253,6 +273,8 @@ def main():
         "cpu_engine_reads_per_s": round(cpu_rps, 2),
         "reads_per_s_10kb": round(rps10, 2),
         "part_recall_10kb": round(recall10, 4),
+        "part_recall_15pct_err": round(recall15, 4),
+        "sv_breakpoint_acc_20bp": round(bp_acc, 4),
         "baseline_note": "reference LAMSA binary unavailable (empty "
                          "mount); baseline = this framework's CPU engine "
                          "on the same workload",

@@ -39,23 +39,25 @@ class AlignConfig:
     """End-to-end aligner configuration.
 
     Seeding follows the reference's design point (SURVEY.md section 1
-    stage 1): ~50 bp seeds every ``seed_step`` bp, each matched
-    approximately (<= seed_max_edits). Our TPU-native matcher uses the
-    pigeonhole principle: each seed is cut into ``seed_max_edits + 1``
-    exact pieces of length ``kmer`` that are matched exactly against a
-    sorted k-mer index (pure gathers, XLA-friendly), then verified.
+    stage 1: ~50 bp seeds matched with <= 3 edits) via the pigeonhole
+    principle at maximum density: exact ``kmer``-length pieces matched
+    against the index (pure gathers, XLA-friendly) every ``seed_step``
+    bp, with sparse-DP chaining as the verification stage.
     """
 
     scores: ScoreParams = dataclasses.field(default_factory=ScoreParams)
 
     # --- seeding ---
-    # The reference matched ~50 bp seeds with <= 3 edits via GEM [U];
-    # the pigeonhole equivalent is exact pieces of length
-    # seed_len // (seed_max_edits + 1) ~= 13 = `kmer`. seed_len and
-    # seed_max_edits document that derivation; `kmer` is what runs.
-    seed_len: int = 50
+    # The reference matched ~50 bp seeds allowing ~3 edits via GEM
+    # (SURVEY.md section 1 stage 1). The TPU-native equivalent is the
+    # pigeonhole bound taken to its density limit: exact `kmer`-length
+    # pieces (50 // (3+1) ~= 13) sampled every `seed_step` bp, with
+    # chaining playing the role of per-seed verification — a true locus
+    # accumulates many co-linear piece hits while spurious loci don't.
+    # Measured recall of this scheme (tests/test_e2e.py harsh-error
+    # test, bench 15%-error section): part_recall 1.0 through 17% total
+    # error (sub=0.08) at seed_step=10, the PacBio CLR regime.
     seed_step: int = 25         # seed piece spacing along the read
-    seed_max_edits: int = 3
     kmer: int = 13              # exact piece length for pigeonhole matching
     max_hits_per_kmer: int = 64     # drop k-mers more frequent than this
     max_cands_per_seed: int = 16    # candidate loci kept per seed

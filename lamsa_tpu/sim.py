@@ -46,10 +46,19 @@ def _revcomp(seq: str) -> str:
 
 
 def _mutate(rng: np.random.Generator, seq: str, sub: float, ins: float,
-            dele: float) -> str:
-    """Apply a PacBio/ONT-style error model to a perfect read."""
+            dele: float):
+    """Apply a PacBio/ONT-style error model to a perfect read.
+
+    Returns (mutated_seq, qmap) where qmap[i] is the mutated-read
+    position of perfect-read position i (len(seq) + 1 entries; deleted
+    bases map to the next surviving position) — so truth part
+    boundaries can be stated exactly in final-read coordinates.
+    Insertions between perfect bases i and i+1 attribute to the left
+    side (emitted before qmap[i + 1] is recorded)."""
     out = []
-    for ch in seq:
+    qmap = np.zeros(len(seq) + 1, np.int64)
+    for i, ch in enumerate(seq):
+        qmap[i] = len(out)
         r = rng.random()
         if r < dele:
             continue
@@ -59,7 +68,8 @@ def _mutate(rng: np.random.Generator, seq: str, sub: float, ins: float,
             out.append(ch)
         while rng.random() < ins:
             out.append(BASES[int(rng.integers(4))])
-    return "".join(out)
+    qmap[len(seq)] = len(out)
+    return "".join(out), qmap
 
 
 @dataclasses.dataclass
@@ -102,7 +112,12 @@ def simulate_reads(rng: np.random.Generator, genome: list[FastxRecord],
             perfect, parts = _simulate_sv_read(rng, genome, L)
         else:
             perfect, parts = _simulate_linear_read(rng, genome, L)
-        seq = _mutate(rng, perfect, sub, ins, dele)
+        seq, qmap = _mutate(rng, perfect, sub, ins, dele)
+        # truth q intervals in FINAL read coordinates (the error model
+        # shifts positions; breakpoint accuracy needs exact truth)
+        parts = [dataclasses.replace(p, q_start=int(qmap[p.q_start]),
+                                     q_end=int(qmap[p.q_end]))
+                 for p in parts]
         name = f"{name_prefix}_{n}|" + ";".join(p.encode() for p in parts)
         reads.append(FastxRecord(name=name, seq=seq))
     return reads

@@ -227,3 +227,41 @@ def test_overlong_read_rejected_unmapped(world):
         assert not (recs[0][0].flag & 0x4) and not (recs[2][0].flag & 0x4)
     finally:
         aln_mod.MAX_READ_LEN = old
+
+
+def test_harsh_clr_error_recall():
+    """Recall at realistic PacBio CLR error rates (SURVEY.md section 1:
+    CLR is the design workload; ~15-17% total error). Exact-k-mer
+    seeding at step 10 + chain verification must keep part recall
+    >= 0.95 — the density argument, demonstrated not asserted."""
+    from lamsa_tpu.config import preset
+
+    rng = np.random.default_rng(77)
+    genome, ref, idx = make_ref(rng, 1_000_000)
+    cfg = preset("pacbio")
+    aligner = Aligner(ref, idx, cfg)
+    for sub, ins, dele in ((0.05, 0.06, 0.04), (0.08, 0.05, 0.04)):
+        reads = sim.simulate_reads(rng, genome, 24, read_len=(800, 4000),
+                                   sub=sub, ins=ins, dele=dele,
+                                   sv_fraction=0.35,
+                                   name_prefix=f"clr{int(sub*100)}")
+        out = aligner.align_batch(reads)
+        st = evaluate(out, reads)
+        assert st.part_recall >= 0.95, (sub, st.summary())
+        assert st.read_accuracy >= 0.9, (sub, st.summary())
+
+
+def test_breakpoint_accuracy_metric():
+    """SV junction breakpoints must land within 20 bp of truth for the
+    vast majority of split parts (eval.bp_acc_20 — the split aligner's
+    defining output)."""
+    rng, genome, ref, idx = np.random.default_rng(31), None, None, None
+    genome, ref, idx = make_ref(rng, 300000)
+    reads = sim.simulate_reads(rng, genome, 32, read_len=(1000, 4000),
+                               sv_fraction=1.0, name_prefix="bp")
+    aligner = Aligner(ref, idx, CFG)
+    out = aligner.align_batch(reads)
+    st = evaluate(out, reads)
+    assert st.n_breakpoints >= 32          # every SV read has >= 2 edges
+    assert st.bp_acc_20 >= 0.9, st.summary()
+    assert st.bp_mean_err <= 25, st.summary()
