@@ -590,7 +590,13 @@ class Aligner:
         """MAPQ from chain-score margin (our own documented formula; the
         reference's exact formula is unrecoverable — empty mount,
         SURVEY.md section 0): 40 * (1 - alt/score) scaled by anchor
-        count, clamped to [0, 60]."""
+        count, clamped to [0, 60].
+
+        Calibrated on a repeat-rich simulation (tests/test_mapq.py,
+        BASELINE.md): MAPQ >= 30 records are > 99.9% correct; exact- and
+        2%-diverged-repeat mappings land at MAPQ < 30 because rejected
+        same-coverage chains feed alt_score (skeleton.backtrack_chains
+        own-coverage overlap rule)."""
         s1 = max(part.score, 1)
         s2 = max(sk.alt_score, 0)
         if s2 >= s1:

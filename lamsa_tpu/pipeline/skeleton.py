@@ -77,11 +77,16 @@ def backtrack_chains(f, pred, qpos, rpos, strand, valid, *, k, read_len,
     Greedy by descending end-score: walk predecessors, skip chains that
     share hits with accepted chains or whose ANCHOR-covered read
     positions overlap accepted chains' anchor coverage by more than
-    max_overlap_frac of the chain's own span. Coverage (not span) is the
-    right overlap notion: a chain that jumps across an inversion covers
-    the flanks but not the inverted middle, which must stay claimable by
-    the opposite-strand chain (SURVEY.md section 1 stage 2). Returns
-    (parts: [Part] in read order, alt_score: best rejected score).
+    max_overlap_frac of the chain's own anchor coverage. Coverage (not
+    span) is the right overlap notion on both sides: a chain that jumps
+    across an inversion covers the flanks but not the inverted middle,
+    which must stay claimable by the opposite-strand chain (SURVEY.md
+    section 1 stage 2); and a chain from a diverged repeat copy covers
+    roughly the SAME windows as the accepted true chain, so normalizing
+    by its own (sparse) coverage — not its read span — rejects it into
+    alt_score instead of emitting a wrong supplementary record (the
+    MAPQ calibration failure mode). Returns (parts: [Part] in read
+    order, alt_score: best rejected score).
     """
     H = len(f)
     order = np.argsort(-f, kind="stable")
@@ -121,7 +126,8 @@ def backtrack_chains(f, pred, qpos, rpos, strand, valid, *, k, read_len,
             rs, re_ = read_len - q1, read_len - q0
         own_cov = _anchor_coverage(np.asarray(qpos)[idxs], k, st, read_len)
         overlap = int((own_cov & covered).sum())
-        if overlap > max_overlap_frac * (re_ - rs) or len(parts) >= max_chains:
+        if overlap > max_overlap_frac * max(int(own_cov.sum()), 1) \
+                or len(parts) >= max_chains:
             alt_score = max(alt_score, int(f[end]))
             if len(secondaries) < keep_secondaries:
                 anchors = np.stack([qpos[idxs].astype(np.int64),

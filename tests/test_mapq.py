@@ -1,0 +1,77 @@
+"""MAPQ calibration (VERDICT round-1 item 7): on a repeat-rich genome
+(exact + 2%-diverged duplicated blocks), records with MAPQ >= 30 must
+be >= 99.9% correct, and ambiguous (repeat) mappings must land at low
+MAPQ rather than as confident supplementary records."""
+
+import collections
+
+import numpy as np
+
+from lamsa_tpu import sim
+from lamsa_tpu.config import preset
+from lamsa_tpu.eval import evaluate
+from lamsa_tpu.index.kmer import KmerIndex
+from lamsa_tpu.io.fasta import FastxRecord, encode_seq
+from lamsa_tpu.io.refpack import PackedReference
+from lamsa_tpu.io.sam import FLAG_REVERSE, FLAG_SECONDARY, FLAG_UNMAPPED, \
+    cigar_ref_len
+from lamsa_tpu.pipeline.aln import Aligner
+
+
+def _repeat_world(rng, core_len=300000, n_blocks=4):
+    core = sim.random_genome(rng, core_len)[0].seq
+    blocks = []
+    for i in range(n_blocks):
+        s = int(rng.integers(0, core_len - 12000))
+        ln = int(rng.integers(3000, 8000))
+        seg = core[s:s + ln]
+        if i >= n_blocks // 2:              # diverged copies (2% subs)
+            seg = list(seg)
+            for j in rng.integers(0, len(seg), int(0.02 * len(seg))):
+                seg[j] = "ACGT"[int(rng.integers(4))]
+            seg = "".join(seg)
+        blocks.append(seg)
+    seq = core + "".join(blocks)
+    genome = [FastxRecord(name="chr1", seq=seq)]
+    codes = np.frombuffer(encode_seq(seq), np.uint8)
+    ref = PackedReference(names=["chr1"],
+                          offsets=np.array([0, len(codes)], np.int64),
+                          codes=codes, amb_runs=np.zeros((0, 2), np.int64))
+    return genome, ref, KmerIndex.build(codes, 13)
+
+
+def test_mapq_calibration_repeat_genome():
+    rng = np.random.default_rng(5)
+    genome, ref, idx = _repeat_world(rng)
+    aligner = Aligner(ref, idx, preset("pacbio"))
+    reads = sim.simulate_reads(rng, genome, 160, read_len=(800, 3000),
+                               sub=0.03, ins=0.05, dele=0.04,
+                               sv_fraction=0.15)
+    out = []
+    for i in range(0, len(reads), 128):
+        out.extend(aligner.align_batch(reads[i:i + 128]))
+
+    bins = collections.defaultdict(lambda: [0, 0])
+    for read, recs in zip(reads, out):
+        truth = sim.parse_truth(read.name)
+        for rec in recs:
+            if rec.flag & (FLAG_UNMAPPED | FLAG_SECONDARY):
+                continue
+            s, e = rec.pos, rec.pos + cigar_ref_len(rec.cigar)
+            ok = any(p.ref_name == rec.rname and s < p.ref_end + 200
+                     and e > p.ref_start - 200
+                     and bool(rec.flag & FLAG_REVERSE) == (p.strand == "-")
+                     for p in truth)
+            bins[min(rec.mapq // 30, 1)][0] += 1
+            bins[min(rec.mapq // 30, 1)][1] += not ok
+
+    hi_n, hi_wrong = bins[1]
+    lo_n, lo_wrong = bins[0]
+    assert hi_n >= 100                       # the test has power
+    assert hi_wrong / hi_n <= 0.001, (hi_wrong, hi_n)
+    # ambiguity exists in this world and lands at low MAPQ
+    assert lo_n >= 10
+    assert lo_wrong >= 1
+    # and overall recall holds despite the repeats
+    st = evaluate(out, reads)
+    assert st.part_recall >= 0.95, st.summary()
