@@ -225,17 +225,18 @@ def main():
     try:
         from lamsa_tpu import sim
         rng10 = np.random.default_rng(SEED + 1)
-        reads10 = sim.simulate_reads(rng10, genome, 128,
+        reads10 = sim.simulate_reads(rng10, genome, 384,
                                      read_len=(9000, 11000), sub=0.02,
                                      ins=0.04, dele=0.04, sv_fraction=0.15)
         from lamsa_tpu.eval import evaluate
-        from lamsa_tpu.pipeline.aln import Aligner
+        from lamsa_tpu.pipeline.aln import Aligner, align_reads
         a10 = Aligner(ref, idx, cfg)
-        a10.align_batch(reads10[:64])       # warm the 16k bucket
-        t0 = time.time()
-        out10 = a10.align_batch(reads10[64:])
-        rps10 = (len(reads10) - 64) / (time.time() - t0)
-        st10 = evaluate(out10, reads10[64:])
+        a10.align_batch(reads10[:128])      # warm the 16k-bucket sigs
+        t0 = time.time()                    # production config: batch
+        out10 = list(align_reads(            # pipelining over batches
+            ref, idx, reads10[128:], cfg, batch_size=128, aligner=a10))
+        rps10 = (len(reads10) - 128) / (time.time() - t0)
+        st10 = evaluate(out10, reads10[128:])
         recall10 = st10.part_recall
         log(f"10kb: {rps10:.1f} reads/s; {st10.summary()}")
     except Exception as e:  # noqa: BLE001

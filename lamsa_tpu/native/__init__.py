@@ -59,6 +59,10 @@ def _load():
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     lib.lamsa_anchors_to_blocks.argtypes = [i64p, ctypes.c_int64, c, i64p]
     lib.lamsa_anchors_to_blocks.restype = ctypes.c_int64
+    lib.lamsa_backtrack_chains.argtypes = [
+        i32p, i32p, i32p, i32p, i8p, c, c, c, c, c, c, ctypes.c_double,
+        c, i32p, i32p, i32p, i32p]
+    lib.lamsa_backtrack_chains.restype = c
     lib.lamsa_sais_u8.argtypes = [i8p, u32p, ctypes.c_int64, c]
     lib.lamsa_sais_u8.restype = c
     lib.lamsa_bwt_from_sa.argtypes = [i8p, u32p, ctypes.c_int64, i8p]
@@ -293,6 +297,43 @@ def banded_sw_cpu(q: np.ndarray, t: np.ndarray, scores, lo: int, hi: int,
     if rc != 0:
         raise ValueError(f"banded_sw_cpu failed rc={rc}")
     return int(score[0]), _runs_to_cigar(out_ops, int(out_n[0]))
+
+
+def backtrack_chains_native(f, pred, qpos, strand, valid, *, k, read_len,
+                            min_anchors, min_score, max_chains,
+                            max_overlap_frac, keep_secondaries):
+    """Native greedy chain selection (pipeline/skeleton.py::
+    backtrack_chains is the spec). Returns (chains, alt_score) where
+    chains is a list of (idxs int32[n], is_secondary, score, strand,
+    read_start, read_end) in encounter order — or None when the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    H = len(f)
+    f = np.ascontiguousarray(f, np.int32)
+    pred = np.ascontiguousarray(pred, np.int32)
+    qpos = np.ascontiguousarray(qpos, np.int32)
+    strand = np.ascontiguousarray(strand, np.int32)
+    valid = np.ascontiguousarray(valid, np.uint8)
+    max_out = max_chains + keep_secondaries + H + 1
+    out_idx = np.empty(max(H, 1), np.int32)
+    out_off = np.empty(max_out + 1, np.int32)
+    out_meta = np.empty(5 * max_out, np.int32)
+    out_alt = np.empty(1, np.int32)
+    n = lib.lamsa_backtrack_chains(
+        f, pred, qpos, strand, valid, H, k, read_len, min_anchors,
+        min_score, max_chains, float(max_overlap_frac), keep_secondaries,
+        out_idx, out_off, out_meta, out_alt)
+    if n < 0:
+        return None
+    chains = []
+    for ci in range(n):
+        m = out_meta[5 * ci:5 * ci + 5]
+        chains.append((out_idx[out_off[ci]:out_off[ci + 1]].copy(),
+                       bool(m[0]), int(m[1]), int(m[2]), int(m[3]),
+                       int(m[4])))
+    return chains, int(out_alt[0])
 
 
 def anchors_to_blocks(anchors: np.ndarray, k: int) -> np.ndarray | None:

@@ -489,3 +489,105 @@ int64_t lamsa_bwt_from_sa(const uint8_t* codes, const uint32_t* SA,
 }
 
 }  // extern "C"
+
+
+// ---------------------------------------------------------------- chains
+// Native twin of pipeline/skeleton.py::backtrack_chains (the Python
+// body is the spec; property-tested equal in tests/test_skeleton.py).
+// Greedy chain selection from sparse-DP output with anchor-coverage
+// overlap rejection. Outputs chains in encounter order:
+//   out_idx:  flat anchor hit-indices (root->end per chain)
+//   out_off:  per-chain start offsets into out_idx (n_chains+1 entries)
+//   out_meta: per-chain [is_secondary, score, strand, read_start,
+//             read_end] (5 x int32)
+//   out_alt:  best rejected chain score
+// Returns n_chains emitted (accepted + secondaries), or -1 on overflow.
+extern "C" int lamsa_backtrack_chains(
+        const int32_t* f, const int32_t* pred, const int32_t* qpos,
+        const int32_t* strand, const uint8_t* valid, int32_t H,
+        int32_t k, int32_t read_len, int32_t min_anchors,
+        int32_t min_score, int32_t max_chains, double max_overlap_frac,
+        int32_t keep_secondaries,
+        int32_t* out_idx, int32_t* out_off, int32_t* out_meta,
+        int32_t* out_alt) {
+    std::vector<int32_t> order(H);
+    for (int32_t i = 0; i < H; i++) order[i] = i;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int32_t a, int32_t b) { return f[a] > f[b]; });
+
+    std::vector<uint8_t> used(H, 0);
+    const int32_t nbits = read_len + 1;
+    const int32_t nw = (nbits + 63) / 64;
+    std::vector<uint64_t> covered(nw, 0), own(nw, 0);
+    std::vector<int32_t> idxs;
+    idxs.reserve(H);
+
+    auto set_range = [&](std::vector<uint64_t>& bs, int64_t a, int64_t b) {
+        // bits [a, b) within [0, nbits)
+        if (a < 0) a = 0;
+        if (b > nbits) b = nbits;
+        for (int64_t x = a; x < b; x++) bs[x >> 6] |= 1ULL << (x & 63);
+    };
+
+    int32_t n_chains = 0, n_parts = 0, n_sec = 0, alt = 0, widx = 0;
+    out_off[0] = 0;
+    for (int32_t oi = 0; oi < H; oi++) {
+        int32_t end = order[oi];
+        if (f[end] < min_score || !valid[end]) break;
+        if (used[end]) continue;
+        idxs.clear();
+        int32_t i = end;
+        bool clean = true;
+        while (i >= 0) {
+            if (used[i]) { clean = false; break; }
+            idxs.push_back(i);
+            i = pred[i];
+        }
+        if (!clean || (int32_t)idxs.size() < min_anchors) {
+            for (int32_t x : idxs) used[x] = 1;
+            continue;
+        }
+        std::reverse(idxs.begin(), idxs.end());
+        for (int32_t x : idxs) used[x] = 1;
+
+        int32_t st = strand[idxs.front()];
+        int32_t q0 = qpos[idxs.front()], q1 = qpos[idxs.back()] + k;
+        int32_t rs = (st == 0) ? q0 : read_len - q1;
+        int32_t re = (st == 0) ? q1 : read_len - q0;
+
+        std::fill(own.begin(), own.end(), 0);
+        for (int32_t x : idxs) {
+            int64_t a = (st == 0) ? (int64_t)qpos[x]
+                                  : (int64_t)read_len - qpos[x] - k;
+            set_range(own, a, a + k);
+        }
+        int64_t own_sum = 0, overlap = 0;
+        for (int32_t w = 0; w < nw; w++) {
+            own_sum += __builtin_popcountll(own[w]);
+            overlap += __builtin_popcountll(own[w] & covered[w]);
+        }
+        bool secondary = false;
+        if ((double)overlap >
+                max_overlap_frac * (double)(own_sum > 1 ? own_sum : 1)
+            || n_parts >= max_chains) {
+            if (f[end] > alt) alt = f[end];
+            if (n_sec >= keep_secondaries) continue;
+            secondary = true;
+            n_sec++;
+        } else {
+            for (int32_t w = 0; w < nw; w++) covered[w] |= own[w];
+            n_parts++;
+        }
+        if (widx + (int32_t)idxs.size() > H) return -1;  // can't happen
+        for (int32_t x : idxs) out_idx[widx++] = x;
+        int32_t* m = out_meta + 5 * n_chains;
+        m[0] = secondary;
+        m[1] = f[end];
+        m[2] = st;
+        m[3] = rs;
+        m[4] = re;
+        out_off[++n_chains] = widx;
+    }
+    *out_alt = alt;
+    return n_chains;
+}

@@ -88,12 +88,50 @@ def backtrack_chains(f, pred, qpos, rpos, strand, valid, *, k, read_len,
     MAPQ calibration failure mode). Returns (parts: [Part] in read
     order, alt_score: best rejected score).
     """
+    from lamsa_tpu import native
+    sel = native.backtrack_chains_native(
+        f, pred, qpos, strand, valid, k=k, read_len=read_len,
+        min_anchors=min_anchors, min_score=min_score,
+        max_chains=max_chains, max_overlap_frac=max_overlap_frac,
+        keep_secondaries=keep_secondaries)
+    if sel is None:
+        sel = _select_chains_py(f, pred, qpos, strand, valid, k=k,
+                                read_len=read_len, min_anchors=min_anchors,
+                                min_score=min_score, max_chains=max_chains,
+                                max_overlap_frac=max_overlap_frac,
+                                keep_secondaries=keep_secondaries)
+    chains, alt_score = sel
+    parts: list[Part] = []
+    secondaries: list[Part] = []
+    for idxs, is_sec, score, st, rs, re_ in chains:
+        anchors = np.stack([np.asarray(qpos)[idxs].astype(np.int64),
+                            np.asarray(rpos)[idxs].astype(np.int64)],
+                           axis=1)
+        part = Part(strand=st, anchors=anchors, score=score,
+                    read_start=rs, read_end=re_)
+        (secondaries if is_sec else parts).append(part)
+
+    parts = split_parts_on_foreign_gaps(parts, k=k, read_len=read_len,
+                                        min_anchors=min_anchors)
+    parts.sort(key=lambda p: (p.read_start, p.read_end))
+    return parts, alt_score, secondaries
+
+
+def _select_chains_py(f, pred, qpos, strand, valid, *, k, read_len,
+                      min_anchors, min_score, max_chains,
+                      max_overlap_frac, keep_secondaries):
+    """Python spec of the greedy chain selection (the native C++ twin
+    lamsa_backtrack_chains must match it exactly; property-tested in
+    tests/test_skeleton.py). Returns (chains, alt_score) with chains =
+    [(hit_idxs, is_secondary, score, strand, read_start, read_end)] in
+    encounter order."""
     H = len(f)
     order = np.argsort(-f, kind="stable")
     used = np.zeros(H, bool)
     covered = np.zeros(read_len + 1, bool)
-    parts: list[Part] = []
-    secondaries: list[Part] = []
+    chains = []
+    n_parts = 0
+    n_sec = 0
     alt_score = 0
 
     for end in order:
@@ -126,26 +164,20 @@ def backtrack_chains(f, pred, qpos, rpos, strand, valid, *, k, read_len,
             rs, re_ = read_len - q1, read_len - q0
         own_cov = _anchor_coverage(np.asarray(qpos)[idxs], k, st, read_len)
         overlap = int((own_cov & covered).sum())
+        is_sec = False
         if overlap > max_overlap_frac * max(int(own_cov.sum()), 1) \
-                or len(parts) >= max_chains:
+                or n_parts >= max_chains:
             alt_score = max(alt_score, int(f[end]))
-            if len(secondaries) < keep_secondaries:
-                anchors = np.stack([qpos[idxs].astype(np.int64),
-                                    rpos[idxs].astype(np.int64)], axis=1)
-                secondaries.append(Part(strand=st, anchors=anchors,
-                                        score=int(f[end]), read_start=rs,
-                                        read_end=re_))
-            continue
-        covered |= own_cov
-        anchors = np.stack([qpos[idxs].astype(np.int64),
-                            rpos[idxs].astype(np.int64)], axis=1)
-        parts.append(Part(strand=st, anchors=anchors, score=int(f[end]),
-                          read_start=rs, read_end=re_))
-
-    parts = split_parts_on_foreign_gaps(parts, k=k, read_len=read_len,
-                                        min_anchors=min_anchors)
-    parts.sort(key=lambda p: (p.read_start, p.read_end))
-    return parts, alt_score, secondaries
+            if n_sec >= keep_secondaries:
+                continue
+            is_sec = True
+            n_sec += 1
+        else:
+            covered |= own_cov
+            n_parts += 1
+        chains.append((np.asarray(idxs, np.int32), is_sec, int(f[end]),
+                       st, rs, re_))
+    return chains, alt_score
 
 
 def split_parts_on_foreign_gaps(parts, *, k, read_len, min_anchors=2,

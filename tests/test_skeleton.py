@@ -152,3 +152,40 @@ def test_native_anchors_to_blocks_matches_python(rng):
         got = native.anchors_to_blocks(anchors, k)
         want = anchors_to_blocks_py(anchors, k)
         assert np.array_equal(got, want)
+
+
+def test_native_backtrack_matches_python_spec(rng):
+    """Native lamsa_backtrack_chains == _select_chains_py on random
+    sparse-DP outputs (selection order, scores, secondary flags, alt)."""
+    from lamsa_tpu import native
+    from lamsa_tpu.pipeline.skeleton import _select_chains_py
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    for trial in range(60):
+        H = int(rng.integers(4, 200))
+        read_len = int(rng.integers(100, 3000))
+        k = 13
+        qpos = rng.integers(0, max(1, read_len - k), H).astype(np.int32)
+        strand = rng.integers(0, 2, H).astype(np.int32)
+        valid = (rng.random(H) < 0.9)
+        f = np.where(valid, rng.integers(0, 300, H), 0).astype(np.int32)
+        pred = np.full(H, -1, np.int32)
+        for i in range(1, H):
+            if rng.random() < 0.7:
+                pred[i] = int(rng.integers(0, i))
+        kw = dict(k=k, read_len=read_len, min_anchors=2,
+                  min_score=int(rng.integers(0, 60)),
+                  max_chains=int(rng.integers(1, 6)),
+                  max_overlap_frac=0.5,
+                  keep_secondaries=int(rng.integers(0, 4)))
+        want, alt_w = _select_chains_py(f, pred, qpos, strand, valid, **kw)
+        got, alt_g = native.backtrack_chains_native(f, pred, qpos, strand,
+                                                    valid, **kw)
+        assert alt_g == alt_w, trial
+        assert len(got) == len(want), trial
+        for (gi, gs, gsc, gst, grs, gre), (wi, ws, wsc, wst, wrs, wre) \
+                in zip(got, want):
+            np.testing.assert_array_equal(gi, wi)
+            assert (gs, gsc, gst, grs, gre) == (ws, wsc, wst, wrs, wre)
