@@ -23,8 +23,8 @@ def _index_dir(ref_path: str) -> str:
 def auto_kmer(genome_len: int) -> int:
     """Index k-mer size scaled to genome size: ~log4(L) + 2, in [13, 16]
     (keeps expected random hits per k-mer around or below 1)."""
-    return int(min(16, max(13, math.ceil(math.log(max(genome_len, 2), 4))
-                           + 2)))
+    from lamsa_tpu.index.kmer import auto_kmer as _ak
+    return _ak(genome_len)
 
 
 # genomes above this size use the FM-index (k-mer position tables would

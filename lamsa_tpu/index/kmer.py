@@ -23,6 +23,19 @@ looking up the reverse-complemented read (pipeline/seeding.py).
 
 from __future__ import annotations
 
+import math
+
+
+def auto_kmer(genome_len: int) -> int:
+    """Seeding piece length scaled to genome size: ~log4(L) + 2, in
+    [13, 16] — keeps expected random hits per k-mer around or below 1.
+    Used both for the sorted k-mer index's k and for the FM backend's
+    backward-search piece length (the FM index itself is k-agnostic):
+    at GRCh38 scale a random 13-mer occurs ~46 times, which floods the
+    per-read hit budget with noise; 16-mers restore specificity."""
+    return int(min(16, max(13, math.ceil(math.log(max(genome_len, 2), 4))
+                           + 2)))
+
 import dataclasses
 import json
 import os

@@ -182,11 +182,36 @@ def _dp_tb_fused_gather(flat_reads, ref_codes, q_base, q_step, q_comp,
                        gape=gape, zdrop=zdrop)
 
 
+# Genomes beyond int32-safe gather indexing (> 2^31 - 1 bases; GRCh38
+# is 3.1e9) are laid out on device as a 2D (chunks, 2^REF_CHUNK_BITS)
+# array: a single flat gather would have XLA truncate the uint32 index
+# to int32 (negative wrap -> silently wrong windows), while the
+# two-level (chunk, offset) gather keeps every index component small.
+REF_CHUNK_BITS = 27
+
+
+def pack_ref_device(codes, rep=None):
+    """Place reference codes on device for gather_windows: flat uint8
+    for int32-safe sizes, two-level 2D layout beyond (see
+    REF_CHUNK_BITS). rep: optional sharding for replication."""
+    import numpy as np
+    n = codes.shape[0]
+    if n <= (1 << 31) - 1:
+        return jax.device_put(np.ascontiguousarray(codes, np.uint8), rep)
+    C = 1 << REF_CHUNK_BITS
+    pad = (-n) % C
+    if pad:
+        codes = np.concatenate([codes, np.full(pad, 4, np.uint8)])
+    return jax.device_put(
+        np.ascontiguousarray(codes, np.uint8).reshape(-1, C), rep)
+
+
 def gather_windows(flat_reads, ref_codes, q_base, q_step, q_comp, t_base,
                    t_step, m_len, n_len, lo, *, M, W):
     """On-device window assembly (the spec _build_arrays implements
     host-side); must produce exactly the q / t_win arrays the host
-    assembly would upload (tests/test_gather_dispatch.py)."""
+    assembly would upload (tests/test_gather_dispatch.py). ref_codes is
+    flat uint8, or the 2D pack_ref_device layout for > 2^31 bases."""
     xq = jnp.arange(M, dtype=jnp.int32)[None, :]
     qidx = q_base[:, None] + q_step[:, None] * xq
     qg = flat_reads[jnp.clip(qidx, 0, flat_reads.shape[0] - 1)] \
@@ -199,8 +224,17 @@ def gather_windows(flat_reads, ref_codes, q_base, q_step, q_comp, t_base,
     tvalid = (y >= 0) & (y < n_len[:, None])
     off = jax.lax.bitcast_convert_type(t_step[:, None] * y, jnp.uint32)
     tidx = t_base[:, None] + off                 # uint32, wraps harmlessly
-    tidx = jnp.minimum(tidx, jnp.uint32(ref_codes.shape[0] - 1))
-    t_win = jnp.where(tvalid, ref_codes[tidx].astype(jnp.int32), 5)
+    if ref_codes.ndim == 2:
+        n_total = ref_codes.shape[0] * ref_codes.shape[1]
+        tidx = jnp.minimum(tidx, jnp.uint32(n_total - 1))
+        hi = (tidx >> REF_CHUNK_BITS).astype(jnp.int32)
+        lo_i = (tidx & jnp.uint32((1 << REF_CHUNK_BITS) - 1)) \
+            .astype(jnp.int32)
+        tg = ref_codes[hi, lo_i].astype(jnp.int32)
+    else:
+        tidx = jnp.minimum(tidx, jnp.uint32(ref_codes.shape[0] - 1))
+        tg = ref_codes[tidx].astype(jnp.int32)
+    t_win = jnp.where(tvalid, tg, 5)
     return q, t_win
 
 

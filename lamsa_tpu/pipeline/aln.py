@@ -104,15 +104,15 @@ def _seed_chain_packed_direct(rc, lens, grid, dense_starts, dense_counts,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "cands_per_seed", "max_hits", "weight", "lookback",
-                     "max_dist", "diag_slack", "sa_rate"))
+                     "max_dist", "diag_slack", "sa_rate", "seg_quota"))
 def _seed_chain_packed_fm(rc, lens, grid, fm_dev, *, k, cands_per_seed,
                           max_hits, weight, lookback, max_dist, diag_slack,
-                          sa_rate):
+                          sa_rate, seg_quota=0):
     """FM-index variant (whole-genome path)."""
     from lamsa_tpu.pipeline.seeding import seed_hits_fm
     hits = seed_hits_fm(rc.astype(jnp.int32), lens, grid, fm_dev, k=k,
                         cands_per_seed=cands_per_seed, max_hits=max_hits,
-                        sa_rate=sa_rate)
+                        sa_rate=sa_rate, seg_quota=seg_quota)
     return _pack_hits_chain(hits, weight=weight, lookback=lookback,
                             max_dist=max_dist, diag_slack=diag_slack)
 
@@ -161,9 +161,14 @@ class Aligner:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self._rep = NamedSharding(mesh, P())
         if isinstance(index, FmIndex):
+            from lamsa_tpu.index.kmer import auto_kmer
             from lamsa_tpu.ops.fm import device_arrays
             self.seed_backend = "fm"
-            self.k = self.config.kmer
+            # the FM index is k-agnostic: scale the backward-search
+            # piece length with genome size (a random 13-mer occurs
+            # ~46x in 3.1 Gb — it would flood max_hits_per_read with
+            # noise; 16 restores ~1 expected random hit)
+            self.k = max(self.config.kmer, auto_kmer(ref.total_len))
             self._dev = device_arrays(index)
         else:
             self.seed_backend = "kmer"
@@ -184,12 +189,12 @@ class Aligner:
         # DP windows are gathered there (ops/banded_sw.py
         # _dp_tb_fused_gather) — per-chunk uploads shrink to ~8 int32
         # per instance.
-        from lamsa_tpu.ops.banded_sw import backend_kind
+        from lamsa_tpu.ops.banded_sw import backend_kind, pack_ref_device
         self._ref_dev = None
         if backend_kind() == "pallas":
-            self._ref_dev = jax.device_put(
-                np.ascontiguousarray(ref.codes, dtype=np.uint8),
-                self._rep)
+            # 2D two-level layout beyond int32-safe gather sizes
+            # (GRCh38-scale; see ops/banded_sw.py::pack_ref_device)
+            self._ref_dev = pack_ref_device(ref.codes, self._rep)
             if self.seed_backend == "kmer" and self.k <= 13:
                 # dense 4^k direct-address tables (2 x 256 MB HBM at
                 # k=13): one gather replaces the 23-step binary search
@@ -342,9 +347,14 @@ class Aligner:
                     rc, lens, grid, self._dev["keys"], self._dev["starts"],
                     self._dev["counts"], self._dev["positions"], **common)
         else:
+            # genome-scale noise control: a random k-mer still hits
+            # ~0.7x per strand in 3.1 Gb, flooding max_hits on long
+            # reads; budget hits per (strand, read segment) there
+            quota = cfg.max_hits_per_read // 32 \
+                if self.ref.total_len > 1_000_000_000 else 0
             packed = _seed_chain_packed_fm(
                 rc, lens, grid, self._dev, sa_rate=self.index.sa_rate,
-                **common)
+                seg_quota=quota, **common)
         packed = np.asarray(packed)[:, :B]          # (3, B, H) one transfer
         return {
             "rpos": packed[0].view(np.uint32).astype(np.int64),

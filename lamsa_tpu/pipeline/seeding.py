@@ -179,10 +179,18 @@ def make_qpos_grid(bucket_len: int, k: int, step: int):
     return np.arange(n, dtype=np.int32) * step
 
 
+# number of read segments for the whole-genome hit quota (seed_hits_fm
+# seg_quota): hits are budgeted per (strand, read segment) so random
+# genome-scale noise cannot crowd out the read tail or the '-' strand
+# before truncation to max_hits (prefix truncation is qpos-ordered).
+N_SEG = 16
+
+
 @functools.partial(jax.jit, static_argnames=("k", "cands_per_seed",
-                                             "max_hits", "sa_rate"))
+                                             "max_hits", "sa_rate",
+                                             "seg_quota"))
 def seed_hits_fm(read_codes, read_len, qpos_grid, fm, *, k, cands_per_seed,
-                 max_hits, sa_rate):
+                 max_hits, sa_rate, seg_quota=0):
     """FM-index variant of seed_hits: same window extraction, same hit
     output contract, but candidate loci come from on-device backward
     search + value-sampled SA resolution (ops/fm.py) instead of the
@@ -237,6 +245,21 @@ def seed_hits_fm(read_codes, read_len, qpos_grid, fm, *, k, cands_per_seed,
 
     key1, rows = jax.lax.sort((key1, rows), dimension=1, num_keys=1,
                               is_stable=True)
+    if seg_quota:
+        # whole-genome fairness (see N_SEG): cap hits per (strand,
+        # read segment), invalidate the excess, re-compact
+        qp = key1 & ((1 << _QPOS_BITS) - 1)
+        seg = jnp.minimum(qp * N_SEG // L, N_SEG - 1)
+        gid = jnp.where(key1 < INVALID_K1,
+                        (key1 >> _QPOS_BITS) * N_SEG + seg, -1)
+        idx = jax.lax.broadcasted_iota(jnp.int32, gid.shape, 1)
+        newg = jnp.concatenate(
+            [jnp.ones((B, 1), bool), gid[:, 1:] != gid[:, :-1]], axis=1)
+        gstart = jax.lax.cummax(jnp.where(newg, idx, -1), axis=1)
+        drop = (gid >= 0) & (idx - gstart >= seg_quota)
+        key1 = jnp.where(drop, INVALID_K1, key1)
+        key1, rows = jax.lax.sort((key1, rows), dimension=1, num_keys=1,
+                                  is_stable=True)
     key1 = key1[:, :max_hits]
     rows = rows[:, :max_hits]
 

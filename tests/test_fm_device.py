@@ -72,3 +72,38 @@ def test_fm_seeding_matches_kmer_seeding(world, rng):
     for key in ["qpos", "rpos", "strand", "valid"]:
         a, b_ = np.asarray(h1[key]), np.asarray(h2[key])
         assert np.array_equal(a, b_), key
+
+
+def test_fm_seg_quota_keeps_tail_and_minus_strand(world, rng):
+    """seg_quota budgets hits per (strand, read segment): with a tight
+    max_hits and dense candidates, plain prefix truncation starves the
+    read tail, while the quota keeps every populated segment
+    represented (the GRCh38-scale failure mode)."""
+    from lamsa_tpu.pipeline.seeding import N_SEG
+
+    codes, fm, dev = world
+    k = 11
+    L = 256
+    B = 2
+    reads = np.full((B, L), 4, np.int32)
+    lens = np.full(B, L, np.int32)
+    for b in range(B):
+        s_ = int(rng.integers(0, len(codes) - L))
+        frag = codes[s_:s_ + L]
+        if b:
+            frag = np.array([3, 2, 1, 0, 4], np.uint8)[frag][::-1]
+        reads[b] = frag
+    grid = make_qpos_grid(L, k, 4)               # dense sampling
+    kw = dict(k=k, cands_per_seed=8, max_hits=16, sa_rate=fm.sa_rate)
+    plain = seed_hits_fm(reads, lens, grid, dev, **kw)
+    quota = seed_hits_fm(reads, lens, grid, dev, seg_quota=1, **kw)
+    for b in range(B):
+        # prefix truncation: all kept hits crowd the low-qpos end
+        qp_p = np.asarray(plain["qpos"][b])[np.asarray(plain["valid"][b])]
+        qp_q = np.asarray(quota["qpos"][b])[np.asarray(quota["valid"][b])]
+        segs_p = set(np.minimum(qp_p * N_SEG // L, N_SEG - 1))
+        segs_q = set(np.minimum(qp_q * N_SEG // L, N_SEG - 1))
+        assert len(segs_q) > len(segs_p), (b, segs_p, segs_q)
+    # both strands of hits survive across the batch under quota
+    st_q = np.asarray(quota["strand"])[np.asarray(quota["valid"])]
+    assert set(st_q.tolist()) == {0, 1}

@@ -90,3 +90,35 @@ def test_gather_windows_matches_host_assembly(rng):
         # host pads with T_SENTINEL=5 too
         assert np.array_equal(t_dev[b], want_t), \
             f"case {b}: t window differs"
+
+
+def test_two_level_ref_gather_matches_flat(rng, monkeypatch):
+    """gather_windows with the 2D pack_ref_device layout (genomes past
+    int32-safe gather indexing, e.g. GRCh38) == the flat layout."""
+    import lamsa_tpu.ops.banded_sw as bsw
+
+    M, W = 128, 128
+    Lref = 5000
+    ref = rng.integers(0, 5, Lref).astype(np.uint8)
+    B = 16
+    qb = np.zeros(B, np.int32)
+    qs = np.ones(B, np.int32)
+    qc = np.zeros(B, np.int32)
+    tb = rng.integers(0, Lref - 300, B).astype(np.uint32)
+    ts = np.where(np.arange(B) % 2 == 0, 1, -1).astype(np.int32)
+    tb = np.where(ts < 0, tb + 250, tb).astype(np.uint32)
+    ml = rng.integers(10, M, B).astype(np.int32)
+    nl = rng.integers(10, 200, B).astype(np.int32)
+    lo = np.full(B, -(W // 2), np.int32)
+    flat = rng.integers(0, 5, 4096).astype(np.uint8)
+
+    q1, t1 = bsw.gather_windows(flat, ref, qb, qs, qc, tb, ts, ml, nl,
+                                lo, M=M, W=W)
+    monkeypatch.setattr(bsw, "REF_CHUNK_BITS", 9)
+    C = 1 << 9
+    pad = (-Lref) % C
+    ref2 = np.concatenate([ref, np.full(pad, 4, np.uint8)]).reshape(-1, C)
+    q2, t2 = bsw.gather_windows(flat, ref2, qb, qs, qc, tb, ts, ml, nl,
+                                lo, M=M, W=W)
+    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
