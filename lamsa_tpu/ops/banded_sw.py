@@ -78,10 +78,13 @@ def compact_E(M: int) -> int:
     """Event-slot budget of the compact traceback encoding for an
     M-row bucket. D events are rows whose traceback emits a deletion
     run — one per deletion in the alignment, so the budget only needs
-    to cover plausible indel counts; overflow (> E deletions in one
-    gap) is flagged per instance and recomputed host-side
-    bit-identically (native banded_sw_tb)."""
-    return M // 8 + 16
+    to cover plausible indel counts (4% deletions on an M-row gap is
+    M/25 runs); overflow (> E deletions in one gap) is flagged per
+    instance and recomputed host-side bit-identically (native
+    banded_sw_tb). Sized M/16 + 8: the D2H transfer of compact results
+    is the collect bottleneck on relay-attached chips, and event words
+    were ~70% of it at the dominant (128, 128) bucket."""
+    return M // 16 + 8
 
 
 def _dp_tb_core(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
@@ -93,10 +96,11 @@ def _dp_tb_core(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
       [ op bitmap (M/32 words, bit idx = DP row idx, 1 = I step)
       | D events (E words, (row_idx << 16) | d_count, ascending,
         0x7FFFFFFF padding)
-      | tail: term0, score, start_i, start_d, n_ev, 0, 0, 0 ]
-    so the host needs exactly one compact transfer per group (~3-5x
+      | tail: term0 | n_ev << 16, start_i | start_d << 16, score ]
+    so the host needs exactly one compact transfer per group (~5-8x
     smaller than shipping per-row step words; the device<->host relay
-    is the scarce resource)."""
+    is the scarce resource — all tail fields except score fit 16 bits:
+    term0 <= M + W, si <= M, sd < W, n_ev <= M)."""
     from lamsa_tpu.ops.banded_sw_pallas import banded_sw_pallas
     from lamsa_tpu.ops.traceback_pallas import traceback_pallas
 
@@ -135,10 +139,9 @@ def _dp_tb_core(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
     evw = jnp.where(ev, (idxr << 16) | cnt, jnp.int32(0x7FFFFFFF))
     evw = jnp.sort(evw, axis=1)[:, :E]
     n_ev = jnp.sum(ev, axis=1).astype(jnp.int32)
-    z = jnp.zeros((B, 1), jnp.int32)
     tail = jnp.concatenate(
-        [term[:, 0:1], score[:, None], si[:, None], sd[:, None],
-         n_ev[:, None], z, z, z], axis=1)
+        [(term[:, 0:1] | (n_ev[:, None] << 16)),
+         (si[:, None] | (sd[:, None] << 16)), score[:, None]], axis=1)
     return jnp.concatenate([opbits, evw, tail], axis=1)
 
 
@@ -325,7 +328,10 @@ def collect_group_pallas(packed_dev, M):
     opbits = packed[:, :nw]
     events = packed[:, nw:nw + E]
     tail = packed[:, nw + E:]
-    term0, score, si, sd, n_ev = (tail[:, 0], tail[:, 1], tail[:, 2],
-                                  tail[:, 3], tail[:, 4])
+    term0 = tail[:, 0] & 0xFFFF
+    n_ev = tail[:, 0] >> 16
+    si = tail[:, 1] & 0xFFFF
+    sd = tail[:, 1] >> 16
+    score = tail[:, 2]
     cigars = native.decode_compact_batch(opbits, events, term0, si, n_ev)
     return cigars, score, si, sd

@@ -72,6 +72,8 @@ def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref, zdrop_ref,
     n = nlen_ref[:, 0][:, None]
     match_s = DT(match)
     mismatch_s = DT(-mismatch)
+    lanes_gape = lanes_s * DT(gape)     # row-invariant (hoisted)
+    jbase = lo + lanes                  # row-invariant column base
 
     @pl.when(rb == 0)
     def _init():
@@ -115,11 +117,11 @@ def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref, zdrop_ref,
         s = jnp.where((qc == tc) & (qc < 4) & (tc < 4), match_s, mismatch_s)
         diag = jnp.maximum(h_prev + s, NEG)
 
-        j = i + lo + lanes
+        j = i + jbase
         valid = (j >= 0) & (j <= n)
         h_nogap = jnp.where(valid, jnp.maximum(diag, f_cur), NEG)
 
-        v = h_nogap + lanes_s * DT(gape)
+        v = h_nogap + lanes_gape
         p = v
         sft = 1
         while sft < W:
@@ -127,8 +129,7 @@ def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref, zdrop_ref,
             sft *= 2
         p_excl = _shift_right(p, 1, NEG, lanes)
         e_cur = jnp.where(valid & (j >= 1),
-                          jnp.maximum(p_excl - lanes_s * DT(gape) - gapo,
-                                      NEG),
+                          jnp.maximum(p_excl - lanes_gape - gapo, NEG),
                           NEG)
         e_ext_bit = _shift_right((v <= p_excl).astype(DT), 1,
                                  DT(0), lanes)
