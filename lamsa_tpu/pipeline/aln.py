@@ -122,6 +122,21 @@ def _revcomp_codes(codes: np.ndarray) -> np.ndarray:
     return native.revcomp4(codes)
 
 
+@functools.partial(jax.jit, static_argnames=("L",))
+def gather_rc(flat, offs, lens, *, L):
+    """Assemble the (B, L) padded read-code matrix ON DEVICE from the
+    batch's resident flat code array (read b = flat[offs[b]:offs[b] +
+    lens[b]], padded with 4) — the flat array is uploaded once per
+    batch anyway for DP window gathers, so this removes the second
+    (B, L) upload entirely (the host->device relay is the scarce
+    link). Bit-identical to the host-assembled matrix by construction
+    (tests/test_gather_dispatch.py)."""
+    i = jnp.arange(L, dtype=jnp.int32)[None, :]
+    idx = offs[:, None] + i
+    g = flat[jnp.clip(idx, 0, flat.shape[0] - 1)]
+    return jnp.where(i < lens[:, None], g, jnp.uint8(4))
+
+
 @dataclasses.dataclass
 class _PendingPart:
     part: object
@@ -239,6 +254,7 @@ class Aligner:
 
         flat_offs = None
         device_sources = None
+        host_sources = None
         if self._ref_dev is not None:
             # flat forward read codes, device-resident for the batch;
             # padded to a power of two to keep the jit signature set
@@ -255,14 +271,19 @@ class Aligner:
             flat_offs[-1] = pos
             device_sources = (jax.device_put(flat, self._rep),
                               self._ref_dev)
+            host_sources = (flat, self.ref.codes)
 
         batcher = DpBatcher(cfg.scores, device_sources=device_sources,
-                            min_band=cfg.band_width, mesh=self.mesh)
+                            min_band=cfg.band_width, mesh=self.mesh,
+                            host_sources=host_sources)
         pending: list[tuple[int, list[_PendingPart], object]] = []
 
+        flat_dev = device_sources[0] if device_sources is not None else None
         for L, idxs in sorted(groups.items()):
             with STATS.stage("seed_chain_device"):
-                hit_arrays = self._seed_and_chain(codes, idxs, L)
+                hit_arrays = self._seed_and_chain(codes, idxs, L,
+                                                  flat_dev=flat_dev,
+                                                  flat_offs=flat_offs)
             with STATS.stage("skeleton_host"):
                 for gi, ri in enumerate(idxs):
                     sk = self._build_skeleton(hit_arrays, gi, len(codes[ri]))
@@ -297,7 +318,8 @@ class Aligner:
 
     # -------------------------------------------------------- device stages
 
-    def _seed_and_chain(self, codes, idxs, L):
+    def _seed_and_chain(self, codes, idxs, L, flat_dev=None,
+                        flat_offs=None):
         """Device seeding+chaining for one read-length bucket.
 
         Shape discipline: the batch dim is padded to a power of two so
@@ -305,18 +327,28 @@ class Aligner:
         would force a remote recompile per batch — measured at seconds
         per signature on this environment's compile relay). All six hit
         arrays come back in ONE packed device->host transfer (the relay
-        has high per-transfer latency)."""
+        has high per-transfer latency). When the batch's flat code
+        array is device-resident (Pallas engine), the (B, L) read
+        matrix is gathered on device (gather_rc) instead of uploaded."""
         cfg = self.config
         B = len(idxs)
         Bp = max(8, 1 << (B - 1).bit_length())
         if self.mesh is not None:
             Bp = max(Bp, self.mesh.devices.size)   # both powers of two
-        rc = np.full((Bp, L), 4, np.uint8)       # 1 byte/base upload
         lens = np.zeros(Bp, np.int32)
-        for b, ri in enumerate(idxs):
-            c = codes[ri][:L]
-            rc[b, :len(c)] = c
-            lens[b] = len(c)
+        if flat_dev is not None:
+            offs = np.zeros(Bp, np.int32)
+            for b, ri in enumerate(idxs):
+                offs[b] = flat_offs[ri]
+                lens[b] = min(len(codes[ri]), L)
+            rc = gather_rc(flat_dev, jnp.asarray(offs), jnp.asarray(lens),
+                           L=L)
+        else:
+            rc = np.full((Bp, L), 4, np.uint8)   # 1 byte/base upload
+            for b, ri in enumerate(idxs):
+                c = codes[ri][:L]
+                rc[b, :len(c)] = c
+                lens[b] = len(c)
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -391,17 +423,10 @@ class Aligner:
         L = len(read_codes)
         rc_codes = None
         pend = []
-        qd = td = None                 # stays None on the host engine
         n_parts = len(sk.parts)
         part_list = list(sk.parts) + list(sk.secondaries)
         for pi, part in enumerate(part_list):
             is_secondary = pi >= n_parts
-            if part.strand == 0:
-                qseq = read_codes
-            else:
-                if rc_codes is None:
-                    rc_codes = _revcomp_codes(read_codes)
-                qseq = rc_codes
             blocks = anchors_to_blocks(part.anchors, self.k)
             if len(blocks) == 0:
                 continue
@@ -419,44 +444,58 @@ class Aligner:
             else:
                 o_lo, o_hi = L - read_hi, L - read_lo
 
-            gap_handles = []
-            for (qa, ra, la), (qb, rb, _lb) in zip(blocks, blocks[1:]):
-                qa_, ra_ = int(qa + la), int(ra + la)
-                q_seg = qseq[qa_:int(qb)]
-                t_seg = self.ref.codes[ra_:int(rb)]
-                if flat_off is not None:
-                    qd = self._qdesc(flat_off, L, part.strand, qa_,
-                                     len(q_seg), 0)
-                    td = (ra_, 1)
-                gap_handles.append(batcher.add_global(q_seg, t_seg,
-                                                      qd=qd, td=td))
-
-            # left extension (reversed)
             q0, r0 = int(blocks[0][0]), int(blocks[0][1])
             ls = max(int(o_lo), q0 - _EXT_CAP)
-            q_seg = qseq[ls:q0][::-1]
-            tlen = min(len(q_seg) + EXT_MARGIN, r0)
-            t_seg = self.ref.codes[r0 - tlen:r0][::-1]
-            if flat_off is not None:
-                qd = self._qdesc(flat_off, L, part.strand, ls, q0 - ls, 1)
-                td = (r0 - 1, -1)
-            left_handle = batcher.add_extend(q_seg, t_seg,
-                                             cfg.scores.end_bonus,
-                                             qd=qd, td=td)
-            # right extension
             qe = int(blocks[-1][0] + blocks[-1][2])
             re_ = int(blocks[-1][1] + blocks[-1][2])
             rs2 = min(int(o_hi), qe + _EXT_CAP)
-            q_seg = qseq[qe:rs2]
-            tlen = min(len(q_seg) + EXT_MARGIN,
-                       self.ref.total_len - re_)
-            t_seg = self.ref.codes[re_:re_ + tlen]
+            tlen_l = min(q0 - ls + EXT_MARGIN, r0)
+            tlen_r = min(rs2 - qe + EXT_MARGIN, self.ref.total_len - re_)
+
             if flat_off is not None:
-                qd = self._qdesc(flat_off, L, part.strand, qe, rs2 - qe, 0)
-                td = (re_, 1)
-            right_handle = batcher.add_extend(q_seg, t_seg,
-                                              cfg.scores.end_bonus,
-                                              qd=qd, td=td)
+                # descriptor path (device-gather engine): no host
+                # content slices at all — gap descriptors are built
+                # vectorized over the blocks array and bulk-enqueued
+                qa_ = blocks[:-1, 0] + blocks[:-1, 2]
+                ra_ = blocks[:-1, 1] + blocks[:-1, 2]
+                mlen = blocks[1:, 0] - qa_
+                nlen = blocks[1:, 1] - ra_
+                if part.strand == 0:
+                    q_base = flat_off + qa_
+                else:
+                    q_base = flat_off + (L - 1 - qa_)
+                h0 = batcher.add_globals_bulk(
+                    mlen, nlen, q_base, 1 if part.strand == 0 else -1,
+                    part.strand, ra_)
+                gap_handles = list(range(h0, h0 + len(mlen)))
+                left_handle = batcher.add_extend_desc(
+                    q0 - ls, tlen_l, cfg.scores.end_bonus,
+                    self._qdesc(flat_off, L, part.strand, ls, q0 - ls, 1),
+                    (r0 - 1, -1))
+                right_handle = batcher.add_extend_desc(
+                    rs2 - qe, tlen_r, cfg.scores.end_bonus,
+                    self._qdesc(flat_off, L, part.strand, qe, rs2 - qe, 0),
+                    (re_, 1))
+            else:
+                # content path (host/XLA engine)
+                if part.strand == 0:
+                    qseq = read_codes
+                else:
+                    if rc_codes is None:
+                        rc_codes = _revcomp_codes(read_codes)
+                    qseq = rc_codes
+                gap_handles = []
+                for (qa, ra, la), (qb, rb, _lb) in zip(blocks, blocks[1:]):
+                    qa_, ra_ = int(qa + la), int(ra + la)
+                    gap_handles.append(batcher.add_global(
+                        qseq[qa_:int(qb)], self.ref.codes[ra_:int(rb)]))
+                left_handle = batcher.add_extend(
+                    qseq[ls:q0][::-1],
+                    self.ref.codes[r0 - tlen_l:r0][::-1],
+                    cfg.scores.end_bonus)
+                right_handle = batcher.add_extend(
+                    qseq[qe:rs2], self.ref.codes[re_:re_ + tlen_r],
+                    cfg.scores.end_bonus)
             pend.append(_PendingPart(part=part, blocks=blocks,
                                      gap_handles=gap_handles,
                                      left_handle=left_handle,

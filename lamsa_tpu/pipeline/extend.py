@@ -91,10 +91,16 @@ class DpBatcher:
     int32 per instance instead of M + (M+W) codes."""
 
     def __init__(self, scores, kernel=None, device_sources=None,
-                 min_band: int = 0, mesh=None):
+                 min_band: int = 0, mesh=None, host_sources=None):
         self.scores = scores
         self.kernel = kernel
         self.device_sources = device_sources
+        # host_sources — (flat_read_codes, ref_codes) HOST arrays
+        # mirroring device_sources: descriptor-only instances (the bulk
+        # enqueue path) materialize their q/t content from these when a
+        # rare host recompute is needed (compact-event overflow,
+        # no-bucket fallback, or the XLA engine in tests)
+        self.host_sources = host_sources
         # mesh: data-parallel jax.sharding.Mesh — DP chunks shard their
         # instance dim across it (parallel/mesh.py read-level DP)
         self.mesh = mesh
@@ -104,6 +110,11 @@ class DpBatcher:
             or BUCKETS[-1:]
         self._inst: list[dict] = []
         self._results: list[DpResult | None] = []
+        # descriptor-only instances, stored columnar (the production
+        # device-gather path: per-instance Python dicts were ~1/3 of
+        # the host time at the 10 kb working point)
+        self._bulk: list[dict] = []       # record batches of np columns
+        self._scal: dict | None = None    # per-column lists (scalar adds)
 
     def _shard(self, *arrays):
         """Place arrays with the leading dim sharded over the mesh."""
@@ -156,33 +167,174 @@ class DpBatcher:
                                "qd": qd, "td": td})
         return idx
 
+    # ------------------------------------------- descriptor-only enqueue
+
+    _COLS = ("idx", "m", "n", "qb", "qs", "qc", "tb", "ts", "glob",
+             "bonus")
+
+    def _trivial(self, h0, m, n, kind):
+        """Resolve zero-length instances immediately (same rules as the
+        content enqueue paths). Returns bool[K] mask of trivia."""
+        triv = (m == 0) | (n == 0)
+        if triv.any():
+            gapo, gape = self.scores.gap_open, self.scores.gap_ext
+            for i in np.flatnonzero(triv):
+                mi, ni = int(m[i]), int(n[i])
+                if kind == "extend" or (mi == 0 and ni == 0):
+                    self._results[h0 + i] = DpResult(0, _EMPTY_CIGAR, 0, 0)
+                elif mi == 0:
+                    self._results[h0 + i] = DpResult(
+                        -(gapo + ni * gape), _run(OP_D, ni), 0, ni)
+                else:
+                    self._results[h0 + i] = DpResult(
+                        -(gapo + mi * gape), _run(OP_I, mi), mi, 0)
+        return triv
+
+    def add_globals_bulk(self, m, n, q_base, q_step, q_comp,
+                         t_base) -> int:
+        """Vectorized enqueue of K global gap instances described by
+        device-gather descriptors (see _dp_tb_fused_gather); content is
+        never materialized on the happy path. Returns the first handle;
+        instance i gets handle first + i."""
+        h0 = len(self._results)
+        K = len(m)
+        self._results.extend([None] * K)
+        m = np.asarray(m, np.int64)
+        n = np.asarray(n, np.int64)
+        keep = ~self._trivial(h0, m, n, "global")
+        if keep.any():
+            ki = np.flatnonzero(keep)
+            self._bulk.append({
+                "idx": h0 + ki,
+                "m": m[ki], "n": n[ki],
+                "qb": np.asarray(q_base, np.int64)[ki],
+                "qs": np.broadcast_to(np.asarray(q_step, np.int64),
+                                      (K,))[ki],
+                "qc": np.broadcast_to(np.asarray(q_comp, np.int64),
+                                      (K,))[ki],
+                "tb": np.asarray(t_base, np.int64)[ki],
+                "ts": np.ones(len(ki), np.int64),
+                "glob": np.ones(len(ki), bool),
+                "bonus": np.zeros(len(ki), np.int64),
+            })
+        return h0
+
+    def _add_desc_scalar(self, kind, m, n, qd, td, bonus) -> int:
+        h0 = len(self._results)
+        self._results.append(None)
+        if self._trivial(h0, np.array([m]), np.array([n]), kind)[0]:
+            return h0
+        if self._scal is None:
+            self._scal = {c: [] for c in self._COLS}
+        s = self._scal
+        s["idx"].append(h0)
+        s["m"].append(m)
+        s["n"].append(n)
+        s["qb"].append(qd[0])
+        s["qs"].append(qd[1])
+        s["qc"].append(qd[2])
+        s["tb"].append(td[0])
+        s["ts"].append(td[1])
+        s["glob"].append(kind == "global")
+        s["bonus"].append(bonus)
+        return h0
+
+    def add_global_desc(self, m: int, n: int, qd, td) -> int:
+        return self._add_desc_scalar("global", m, n, qd, td, 0)
+
+    def add_extend_desc(self, m: int, n: int, to_end_bonus: int, qd,
+                        td) -> int:
+        return self._add_desc_scalar("extend", m, n, qd, td,
+                                     to_end_bonus)
+
+    def _materialize(self, c, i):
+        """q/t content of columnar instance i (host fallback paths)."""
+        flat, refc = self.host_sources
+        m, n = int(c["m"][i]), int(c["n"][i])
+        y = int(c["qb"][i]) + int(c["qs"][i]) * np.arange(m)
+        q = flat[y].astype(np.uint8)
+        if int(c["qc"][i]):
+            q = np.where(q < 4, 3 - q, q).astype(np.uint8)
+        x = int(c["tb"][i]) + int(c["ts"][i]) * np.arange(n)
+        t = np.asarray(refc[x], np.uint8)
+        return q, t
+
     # ---------------------------------------------------------------- run
 
+    def _merged_cols(self) -> dict | None:
+        """Concatenate the columnar record batches (+ scalar adds) into
+        one dict of np arrays; clears the stores."""
+        batches = list(self._bulk)
+        if self._scal is not None:
+            batches.append({k: np.asarray(v, np.int64)
+                            for k, v in self._scal.items()})
+        self._bulk = []
+        self._scal = None
+        if not batches:
+            return None
+        return {k: np.concatenate([b[k] for b in batches])
+                for k in self._COLS}
+
     def run(self) -> None:
+        from lamsa_tpu.ops.banded_sw import backend_kind
+        pallas = self.kernel is None and backend_kind() == "pallas"
+        launches = []
+
+        # ---- columnar (descriptor) instances: vectorized bucketing
+        c = self._merged_cols()
+        if c is not None:
+            m, n, glob = c["m"], c["n"], c["glob"]
+            need = np.abs(n - m) + 1
+            bid = np.full(len(m), -1, np.int64)
+            for bi, (M, W) in enumerate(self.buckets):
+                fit_g = (m <= M) & (need <= W - 16) \
+                    & ((W - need) // 2 >= _MIN_SLACK)
+                fit_e = (m <= M) & (n - m <= W // 2 - 8) \
+                    & ((W == 256) | (m <= 256))
+                fit = np.where(glob, fit_g, fit_e)
+                bid = np.where((bid < 0) & fit, bi, bid)
+            for i in np.flatnonzero(bid < 0):   # pathological fallback
+                mi, ni = int(m[i]), int(n[i])
+                s = -(2 * self.scores.gap_open
+                      + (mi + ni) * self.scores.gap_ext)
+                self._results[int(c["idx"][i])] = DpResult(
+                    s, np.concatenate([_run(OP_I, mi), _run(OP_D, ni)]),
+                    mi, ni)
+            for bi, (M, W) in enumerate(self.buckets):
+                sel = np.flatnonzero(bid == bi)
+                if len(sel) == 0:
+                    continue
+                sel = sel[np.argsort(-m[sel], kind="stable")]
+                chunk = CHUNK_BY_M[(M, W)]
+                for c0 in range(0, len(sel), chunk):
+                    sl = {k: v[sel[c0:c0 + chunk]] for k, v in c.items()}
+                    if pallas and self.device_sources is not None:
+                        launches.append(self._dispatch_cols(sl, M, W))
+                    else:
+                        self._run_cols_host(sl, M, W)
+
+        # ---- explicit (content) instances: per-instance path
         groups: dict[tuple, list] = {}
         for inst in self._inst:
-            m, n = len(inst["q"]), len(inst["t"])
+            m_, n_ = len(inst["q"]), len(inst["t"])
             for M, W in self.buckets:
-                if _bucket_fits(inst["kind"], m, n, M, W):
+                if _bucket_fits(inst["kind"], m_, n_, M, W):
                     key = (M, W)
                     break
             else:
                 # no bucket fits (pathological gap) — crude fallback
                 s = -(2 * self.scores.gap_open
-                      + (m + n) * self.scores.gap_ext)
+                      + (m_ + n_) * self.scores.gap_ext)
                 self._results[inst["idx"]] = DpResult(
-                    s, np.concatenate([_run(OP_I, m), _run(OP_D, n)]),
-                    m, n)
+                    s, np.concatenate([_run(OP_I, m_), _run(OP_D, n_)]),
+                    m_, n_)
                 continue
             groups.setdefault(key, []).append(inst)
         self._inst = []
-        from lamsa_tpu.ops.banded_sw import backend_kind
-        pallas = self.kernel is None and backend_kind() == "pallas"
         # Sorting by query length lets the kernels skip row groups above
         # each instance tile's longest query. On the Pallas path ALL
         # chunks are dispatched asynchronously before any is collected,
         # overlapping device work with host<->device round trips.
-        launches = []
         for (M, W), insts in sorted(groups.items()):
             insts.sort(key=lambda it: -len(it["q"]))
             chunk = CHUNK_BY_M[(M, W)]
@@ -288,12 +440,83 @@ class DpBatcher:
                 p["bonus"][b] = inst["bonus"]
         return p
 
+    @staticmethod
+    def _cols_lo(sl, W):
+        m, n = sl["m"], sl["n"]
+        need = np.abs(n - m) + 1
+        return np.where(sl["glob"], np.minimum(0, n - m) - (W - need) // 2,
+                        -(W // 2)).astype(np.int64)
+
+    def _dispatch_cols(self, sl, M, W):
+        """Columnar twin of _dispatch_pallas: descriptor slices go
+        straight into the padded param arrays (no per-instance dicts)."""
+        from lamsa_tpu.ops.banded_sw import dispatch_group_pallas_gather
+        from lamsa_tpu.utils.timers import GLOBAL as STATS
+        Bp = CHUNK_BY_M[(M, W)]
+        K = len(sl["m"])
+        with STATS.stage(f"dp_build_{M}x{W}"):
+            sl = dict(sl)
+            sl["lo"] = self._cols_lo(sl, W)
+            p = {name: np.zeros(Bp, np.int32) for name in
+                 ("q_base", "q_step", "q_comp", "t_step", "m_len",
+                  "n_len", "lo", "bonus")}
+            p["t_base"] = np.zeros(Bp, np.uint32)
+            p["is_global"] = np.zeros(Bp, bool)
+            p["q_step"][K:] = 1
+            p["t_step"][K:] = 1
+            for name, col in (("q_base", "qb"), ("q_step", "qs"),
+                              ("q_comp", "qc"), ("t_step", "ts"),
+                              ("m_len", "m"), ("n_len", "n"),
+                              ("lo", "lo"), ("bonus", "bonus")):
+                p[name][:K] = sl[col]
+            p["t_base"][:K] = sl["tb"].astype(np.uint64) \
+                .astype(np.uint32)
+            p["is_global"][:K] = sl["glob"]
+        STATS.count(f"dp_cells_{M}x{W}", int(sl["m"].sum()) * W)
+        STATS.count("dp_instances", K)
+        with STATS.stage(f"dp_dispatch_{M}x{W}"):
+            if self.mesh is not None:
+                p = dict(zip(p.keys(), self._shard(*p.values())))
+            flat_dev, ref_dev = self.device_sources
+            dev = dispatch_group_pallas_gather(p, flat_dev, ref_dev,
+                                               self.scores, M, W,
+                                               mesh=self.mesh)
+        return sl, M, W, dev
+
+    def _run_cols_host(self, sl, M, W):
+        """Columnar instances on the host (XLA) engine: materialize
+        content from host_sources, reuse the explicit group path."""
+        glob = sl["glob"]
+        insts = []
+        for i in range(len(sl["m"])):
+            q, t = self._materialize(sl, i)
+            insts.append({"idx": int(sl["idx"][i]),
+                          "kind": "global" if glob[i] else "extend",
+                          "q": q, "t": t, "bonus": int(sl["bonus"][i]),
+                          "qd": None, "td": None})
+        self._run_group_host(insts, M, W)
+
     def _collect_pallas(self, insts, M, W, dev):
         from lamsa_tpu import native
         from lamsa_tpu.ops.banded_sw import collect_group_pallas
         from lamsa_tpu.utils.timers import GLOBAL as STATS
         with STATS.stage(f"dp_collect_{M}x{W}"):
             cigars, score, si, sd = collect_group_pallas(dev, M)
+        if isinstance(insts, dict):            # columnar launch
+            sl = insts
+            idxs, los = sl["idx"], sl["lo"]
+            for b in range(len(idxs)):
+                lo_b = int(los[b])
+                i = int(si[b])
+                j = i + lo_b + int(sd[b])
+                cig = cigars[b]
+                if cig is None:
+                    q, t = self._materialize(sl, b)
+                    cig = native.banded_sw_tb(q, t, self.scores, lo_b,
+                                              lo_b + W - 1, i, j)
+                self._results[int(idxs[b])] = DpResult(int(score[b]),
+                                                       cig, i, j)
+            return
         for b, inst in enumerate(insts):
             m, n = len(inst["q"]), len(inst["t"])
             if inst["kind"] == "global":

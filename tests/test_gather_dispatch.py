@@ -122,3 +122,138 @@ def test_two_level_ref_gather_matches_flat(rng, monkeypatch):
                                 lo, M=M, W=W)
     np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_gather_rc_matches_host_assembly(rng):
+    """pipeline/aln.py::gather_rc (device-side (B, L) read-matrix
+    assembly from the batch flat array) must equal the host-assembled
+    matrix it replaces, including pad rows and the 4-padding tail."""
+    from lamsa_tpu.pipeline.aln import gather_rc
+
+    reads = [rng.integers(0, 5, int(rng.integers(1, 200))).astype(np.uint8)
+             for _ in range(5)]
+    L = 256
+    flat = np.concatenate(reads + [np.full(64, 4, np.uint8)])
+    offs64 = np.zeros(len(reads) + 1, np.int64)
+    np.cumsum([len(r) for r in reads], out=offs64[1:])
+
+    Bp = 8
+    offs = np.zeros(Bp, np.int32)
+    lens = np.zeros(Bp, np.int32)
+    want = np.full((Bp, L), 4, np.uint8)
+    for b, r in enumerate(reads):
+        offs[b] = offs64[b]
+        lens[b] = len(r)
+        want[b, :len(r)] = r
+
+    got = np.asarray(gather_rc(flat, offs, lens, L=L))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_batcher_desc_matches_content(rng):
+    """Descriptor-only (columnar bulk) enqueue must produce DpResults
+    identical to the explicit-content enqueue on the XLA engine (the
+    Pallas engine shares the gather math via gather_windows, tested
+    above)."""
+    from lamsa_tpu.config import ScoreParams
+    from lamsa_tpu.pipeline.extend import DpBatcher
+
+    scores = ScoreParams(match=1, mismatch=3, gap_open=2, gap_ext=1)
+    flat = rng.integers(0, 5, 4000).astype(np.uint8)
+    refc = rng.integers(0, 5, 8000).astype(np.uint8)
+
+    b_content = DpBatcher(scores)
+    b_desc = DpBatcher(scores, host_sources=(flat, refc))
+
+    # bulk globals (both strands, incl. zero-length trivia)
+    K = 40
+    qb = rng.integers(0, 3000, K)
+    m = rng.integers(0, 120, K)
+    m[:3] = 0                                    # trivial D gaps
+    n = np.maximum(m + rng.integers(-20, 20, K), 0)
+    n[3:5] = 0                                   # trivial I gaps
+    tb = rng.integers(0, 7000, K)
+    qs = np.where(np.arange(K) % 2 == 0, 1, -1)
+    qb = np.where(qs < 0, qb + 200, qb)
+    qc = (np.arange(K) % 3 == 0).astype(np.int64)
+
+    h_content = []
+    for i in range(K):
+        y = qb[i] + qs[i] * np.arange(m[i])
+        q = flat[y].astype(np.uint8)
+        if qc[i]:
+            q = np.where(q < 4, 3 - q, q).astype(np.uint8)
+        t = refc[tb[i]:tb[i] + n[i]]
+        h_content.append(b_content.add_global(q, t))
+    # bulk call (single strand-uniform groups like production: split
+    # by qs sign to pass scalar q_step)
+    h_desc = np.zeros(K, np.int64)
+    for sgn in (1, -1):
+        sel = np.flatnonzero(qs == sgn)
+        h0 = b_desc.add_globals_bulk(
+            m[sel], n[sel], qb[sel], sgn, qc[sel], tb[sel])
+        # bulk preserves order within the call
+        h_desc[sel] = h0 + np.arange(len(sel))
+
+    # a few extends (desc scalar API)
+    ext_cases = []
+    for i in range(8):
+        me = int(rng.integers(0, 100))
+        ne = me + int(rng.integers(0, 40))
+        qb_e, tb_e = int(rng.integers(0, 3000)), int(rng.integers(0, 7000))
+        q = flat[qb_e:qb_e + me]
+        t = refc[tb_e:tb_e + ne]
+        hc = b_content.add_extend(q, t, 5)
+        hd = b_desc.add_extend_desc(me, ne, 5, (qb_e, 1, 0), (tb_e, 1))
+        ext_cases.append((hc, hd))
+
+    b_content.run()
+    b_desc.run()
+    for i in range(K):
+        rc_ = b_content.result(h_content[i])
+        rd = b_desc.result(int(h_desc[i]))
+        assert rc_.score == rd.score, i
+        np.testing.assert_array_equal(rc_.cigar, rd.cigar)
+        assert (rc_.q_used, rc_.t_used) == (rd.q_used, rd.t_used)
+    for hc, hd in ext_cases:
+        rc_, rd = b_content.result(hc), b_desc.result(hd)
+        assert rc_.score == rd.score
+        np.testing.assert_array_equal(rc_.cigar, rd.cigar)
+        assert (rc_.q_used, rc_.t_used) == (rd.q_used, rd.t_used)
+
+
+def test_aligner_desc_path_matches_content_cpu():
+    """Force the full descriptor pipeline (gather_rc seeding + bulk
+    enqueue + columnar run) on the CPU engine and compare SAM
+    byte-for-byte against the default content pipeline."""
+    import jax.numpy as jnp
+
+    from lamsa_tpu import sim
+    from lamsa_tpu.config import AlignConfig, ScoreParams
+    from lamsa_tpu.index.kmer import KmerIndex
+    from lamsa_tpu.io.fasta import encode_seq
+    from lamsa_tpu.io.refpack import PackedReference
+    from lamsa_tpu.io.sam import format_sam_record
+
+    rng = np.random.default_rng(7)
+    genome = sim.random_genome(rng, 60000)
+    codes = np.frombuffer(encode_seq(genome[0].seq), np.uint8)
+    offsets = np.array([0, len(codes)], np.int64)
+    ref = PackedReference(names=[genome[0].name], offsets=offsets,
+                          codes=codes, amb_runs=np.zeros((0, 2), np.int64))
+    idx = KmerIndex.build(codes, 13)
+    cfg = AlignConfig(scores=ScoreParams(match=1, mismatch=3, gap_open=2,
+                                         gap_ext=1), seed_step=10)
+    reads = sim.simulate_reads(rng, genome, 24, read_len=(500, 3000),
+                               sub=0.02, ins=0.04, dele=0.04,
+                               sv_fraction=0.3)
+
+    a_content = Aligner(ref, idx, cfg)
+    a_desc = Aligner(ref, idx, cfg)
+    a_desc._ref_dev = jnp.asarray(codes)       # activates the desc path
+
+    out_c = a_content.align_batch(reads)
+    out_d = a_desc.align_batch(reads)
+    sam_c = [format_sam_record(r) for recs in out_c for r in recs]
+    sam_d = [format_sam_record(r) for recs in out_d for r in recs]
+    assert sam_c == sam_d
