@@ -42,7 +42,8 @@ def _load():
     lib.lamsa_decode_steps16.argtypes = [i32p, i32p, i32p, c, c, c, u32p,
                                          c, i32p]
     lib.lamsa_decode_steps16.restype = c
-    lib.lamsa_decode_compact.argtypes = [i32p, i32p, i32p, i32p, i32p, c,
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    lib.lamsa_decode_compact.argtypes = [i32p, u16p, i32p, i32p, i32p, c,
                                          c, c, u32p, c, i32p]
     lib.lamsa_decode_compact.restype = c
     lib.lamsa_banded_sw_tb.argtypes = [i8p, c, i8p, c, c, c, c, c, c, c,
@@ -198,29 +199,31 @@ def decode_compact_batch(opbits: np.ndarray, events: np.ndarray,
                          term0: np.ndarray, start_i: np.ndarray,
                          n_ev: np.ndarray, maxc: int = MAXC_DEFAULT):
     """Batch decode of the compact device-traceback output (op bitmap +
-    sparse D events; see ops/banded_sw.py::_dp_tb_fused). Instances
-    whose event list was truncated on device decode to None — callers
+    sparse 16-bit D events packed 2-per-int32-word; see
+    ops/banded_sw.py::_dp_tb_fused). Instances that overflowed on
+    device (too many events, or a D run > 30) decode to None — callers
     recompute those with banded_sw_tb."""
     lib = _load()
     B, nw = opbits.shape
-    E = events.shape[1]
+    # little-endian uint16 view: event e of instance b at [b, e]
+    ev16 = np.ascontiguousarray(events, np.int32).view(np.uint16)
+    E = ev16.shape[1]
     if lib is None:
         from lamsa_tpu.ops.traceback import decode_compact
         res = []
         for b in range(B):
-            c = decode_compact(opbits[b], events[b], int(term0[b]),
+            c = decode_compact(opbits[b], ev16[b], int(term0[b]),
                                int(start_i[b]), int(n_ev[b]))
             res.append(None if c is None else cigar_to_runs(c))
         return res
     opbits = np.ascontiguousarray(opbits, np.int32)
-    events = np.ascontiguousarray(events, np.int32)
     t0 = np.ascontiguousarray(term0, np.int32)
     si = np.ascontiguousarray(start_i, np.int32)
     ne = np.ascontiguousarray(n_ev, np.int32)
     # a decode emits <= 2 runs per DP row + the terminal D run
     maxc = min(maxc, 2 * nw * 32 + 2)
     out_ops, out_n = _out_buffers(B, maxc)
-    lib.lamsa_decode_compact(opbits, events, t0, si, ne, B, nw, E,
+    lib.lamsa_decode_compact(opbits, ev16, t0, si, ne, B, nw, E,
                              out_ops.reshape(-1), maxc, out_n)
     res = []
     for b in range(B):
@@ -229,7 +232,7 @@ def decode_compact_batch(opbits: np.ndarray, events: np.ndarray,
         elif out_n[b] < 0:              # defensive: run-buffer overflow
             from lamsa_tpu.ops.traceback import decode_compact
             res.append(cigar_to_runs(decode_compact(
-                opbits[b], events[b], int(t0[b]), int(si[b]),
+                opbits[b], ev16[b], int(t0[b]), int(si[b]),
                 int(ne[b]))))
         else:
             res.append(_runs_to_cigar(out_ops[b], int(out_n[b])))

@@ -126,11 +126,13 @@ int lamsa_decode_steps16(const int32_t* steps16, const int32_t* term,
 }
 
 // Compact device-traceback decode: op bitmap (1 bit per DP row, 1 = I)
-// + sparse D events (idx << 16 | count, ascending by idx, E slots).
+// + sparse 16-bit D events ((idx << 5) | count, count <= 30, ascending
+// by idx, E uint16 slots = E/2 packed int32 words on the wire).
 // See ops/banded_sw.py::_dp_tb_fused for the producer. n_ev[b] > E
-// means the event list was truncated on device: out_n[b] = -2 and the
-// caller must recompute that instance (native banded_sw_tb below).
-int lamsa_decode_compact(const int32_t* opbits, const int32_t* events,
+// (including the 0xFFFF overflow sentinel for runs > 30) means the
+// instance overflowed on device: out_n[b] = -2 and the caller must
+// recompute it (native banded_sw_tb below).
+int lamsa_decode_compact(const int32_t* opbits, const uint16_t* events,
                          const int32_t* term0, const int32_t* start_i,
                          const int32_t* n_ev, int32_t B, int32_t nw,
                          int32_t E, uint32_t* out_ops, int32_t out_stride,
@@ -140,12 +142,12 @@ int lamsa_decode_compact(const int32_t* opbits, const int32_t* events,
         if (n_ev[b] > E) { out_n[b] = -2; rc = -1; continue; }
         RunBuf rb{out_ops + (int64_t)b * out_stride, out_stride, 0, false};
         const int32_t* ob = opbits + (int64_t)b * nw;
-        const int32_t* ev = events + (int64_t)b * E;
+        const uint16_t* ev = events + (int64_t)b * E;
         int32_t ptr = n_ev[b] - 1;
         for (int32_t r = start_i[b]; r >= 1; r--) {
             int32_t idx = r - 1;
-            if (ptr >= 0 && (ev[ptr] >> 16) == idx) {
-                rb.push(OP_D, ev[ptr] & 0xFFFF);
+            if (ptr >= 0 && (ev[ptr] >> 5) == idx) {
+                rb.push(OP_D, ev[ptr] & 31);
                 ptr--;
             }
             int bit = (ob[idx >> 5] >> (idx & 31)) & 1;

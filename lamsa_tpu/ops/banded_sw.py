@@ -79,11 +79,12 @@ def compact_E(M: int) -> int:
     M-row bucket. D events are rows whose traceback emits a deletion
     run — one per deletion in the alignment, so the budget only needs
     to cover plausible indel counts (4% deletions on an M-row gap is
-    M/25 runs); overflow (> E deletions in one gap) is flagged per
-    instance and recomputed host-side bit-identically (native
-    banded_sw_tb). Sized M/16 + 8: the D2H transfer of compact results
-    is the collect bottleneck on relay-attached chips, and event words
-    were ~70% of it at the dominant (128, 128) bucket."""
+    M/25 runs); overflow (> E deletions in one gap, or any run > 30)
+    is flagged per instance and recomputed host-side bit-identically
+    (native banded_sw_tb). Sized M/16 + 8 (always even — events pack
+    two per int32 word): the D2H transfer of compact results is the
+    collect bottleneck on relay-attached chips; event words were ~70%
+    of it at the dominant (128, 128) bucket before the 16-bit pack."""
     return M // 16 + 8
 
 
@@ -92,12 +93,14 @@ def _dp_tb_core(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
     """Banded DP -> score extraction -> clip decision -> on-device
     traceback -> compact encode (shared by the upload and the
     device-gather entries below). Returns ONE packed int32 array
-    (B, M/32 + E + 8):
+    (B, M/32 + E/2 + 3):
       [ op bitmap (M/32 words, bit idx = DP row idx, 1 = I step)
-      | D events (E words, (row_idx << 16) | d_count, ascending,
-        0x7FFFFFFF padding)
+      | D events (E/2 words, two uint16 events per word little-endian:
+        (row_idx << 5) | d_count with d_count <= 30, row-ascending,
+        0xFFFF padding; a run > 30 marks the instance for host
+        recompute via the n_ev = 0xFFFF sentinel)
       | tail: term0 | n_ev << 16, start_i | start_d << 16, score ]
-    so the host needs exactly one compact transfer per group (~5-8x
+    so the host needs exactly one compact transfer per group (~8-12x
     smaller than shipping per-row step words; the device<->host relay
     is the scarce resource — all tail fields except score fit 16 bits:
     term0 <= M + W, si <= M, sd < W, n_ev <= M)."""
@@ -124,7 +127,14 @@ def _dp_tb_core(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
     sd = (sj - si - lo).astype(jnp.int32)
     si = si.astype(jnp.int32)
     steps, term = traceback_pallas(res["dirs32"], m_len, n_len, lo, si, sd)
-    B, M = q.shape
+    return compact_encode(steps, term, si, sd, score)
+
+
+def compact_encode(steps, term, si, sd, score):
+    """Pack per-row step words + terminals into the compact wire format
+    (see _dp_tb_core docstring). Pure jnp; unit-tested round-trip
+    against the step-word decoder on CPU (tests/test_compact_tb.py)."""
+    B, M = steps.shape
     E = compact_E(M)
     idxr = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
     active = idxr < si[:, None]          # rows the walk visited
@@ -136,9 +146,13 @@ def _dp_tb_core(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
         jnp.sum(ibit.reshape(B, M // 32, 32) << shifts[None, None, :],
                 axis=2), jnp.int32)
     ev = active & (cnt > 0) & (op != 2)
-    evw = jnp.where(ev, (idxr << 16) | cnt, jnp.int32(0x7FFFFFFF))
-    evw = jnp.sort(evw, axis=1)[:, :E]
+    big = ev & (cnt > 30)                # run too long for the 5-bit cnt
+    evh = jnp.where(ev & ~big, (idxr << 5) | cnt, jnp.int32(0xFFFF))
+    evh = jnp.sort(evh, axis=1)[:, :E]   # rows are unique -> row order
+    pair = evh.reshape(B, E // 2, 2)
+    evw = pair[:, :, 0] | (pair[:, :, 1] << 16)
     n_ev = jnp.sum(ev, axis=1).astype(jnp.int32)
+    n_ev = jnp.where(jnp.any(big, axis=1), jnp.int32(0xFFFF), n_ev)
     tail = jnp.concatenate(
         [(term[:, 0:1] | (n_ev[:, None] << 16)),
          (si[:, None] | (sd[:, None] << 16)), score[:, None]], axis=1)
@@ -157,19 +171,63 @@ def _dp_tb_fused(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
                        zdrop=zdrop)
 
 
+# Packed-descriptor wire format (one (B, 4) int32 array per chunk — the
+# host->device relay charges per byte AND per array):
+#   word 0: q_base (int32 flat-read offset)
+#   word 1: t_base (uint32 bit-pattern, genomes to 4 Gb)
+#   word 2: m_len | n_len << 16          (both <= M + W < 2^16)
+#   word 3: (lo + _LO_BIAS) [13 bits] | q_step<0 << 13 | t_step<0 << 14
+#           | q_comp << 15 | is_global << 16 | bonus << 17
+_LO_BIAS = 4096
+
+
+def pack_desc(q_base, q_step, q_comp, t_base, t_step, m_len, n_len, lo,
+              is_global, bonus):
+    """Host-side descriptor packing (numpy; see wire format above)."""
+    B = len(m_len)
+    d = np.empty((B, 4), np.int32)
+    d[:, 0] = q_base
+    d[:, 1] = np.asarray(t_base, np.uint64).astype(np.uint32) \
+        .view(np.int32)
+    d[:, 2] = m_len | (np.asarray(n_len, np.int64) << 16)
+    d[:, 3] = ((np.asarray(lo, np.int64) + _LO_BIAS)
+               | ((np.asarray(q_step, np.int64) < 0) << 13)
+               | ((np.asarray(t_step, np.int64) < 0) << 14)
+               | (np.asarray(q_comp, np.int64) << 15)
+               | (np.asarray(is_global, np.int64) << 16)
+               | (np.asarray(bonus, np.int64) << 17))
+    return d
+
+
+def unpack_desc(desc):
+    """Device-side unpack of pack_desc (jnp)."""
+    q_base = desc[:, 0]
+    t_base = jax.lax.bitcast_convert_type(desc[:, 1], jnp.uint32)
+    m_len = desc[:, 2] & 0xFFFF
+    n_len = (desc[:, 2] >> 16) & 0xFFFF
+    w3 = desc[:, 3]
+    lo = (w3 & 0x1FFF) - _LO_BIAS
+    q_step = 1 - 2 * ((w3 >> 13) & 1)
+    t_step = 1 - 2 * ((w3 >> 14) & 1)
+    q_comp = (w3 >> 15) & 1
+    is_global = ((w3 >> 16) & 1).astype(bool)
+    bonus = w3 >> 17
+    return (q_base, q_step, q_comp, t_base, t_step, m_len, n_len, lo,
+            is_global, bonus)
+
+
 @functools.partial(jax.jit, static_argnames=("M", "W", "match", "mismatch",
                                              "gapo", "gape", "zdrop"))
-def _dp_tb_fused_gather(flat_reads, ref_codes, q_base, q_step, q_comp,
-                        t_base, t_step, m_len, n_len, lo, is_global,
-                        bonus, *, M, W, match, mismatch, gapo, gape,
-                        zdrop=0):
+def _dp_tb_fused_gather(flat_reads, ref_codes, desc, *, M, W, match,
+                        mismatch, gapo, gape, zdrop=0):
     """Device-gather entry: q and t windows are assembled ON DEVICE from
     the resident flat read-code array and reference-code array, so the
-    per-chunk host->device upload is ~8 int32 per instance instead of
-    M + (M+W) codes (SURVEY.md section 5: host<->device links are the
-    scarce resource; in this environment a ~20-70 MB/s relay).
+    per-chunk host->device upload is ONE packed (B, 4) int32 descriptor
+    array instead of M + (M+W) codes per instance (SURVEY.md section 5:
+    host<->device links are the scarce resource; in this environment a
+    ~20-70 MB/s relay).
 
-    Descriptors per instance b:
+    Descriptors per instance b (pack_desc wire format above):
       q window element y (0 <= y < m_len) = flat_reads[q_base + q_step*y],
         complemented (3-c for c<4) when q_comp == 1 — this covers both
         strands and the reversed windows of left extensions;
@@ -177,6 +235,8 @@ def _dp_tb_fused_gather(flat_reads, ref_codes, q_base, q_step, q_comp,
         y = x + lo; valid (0 <= y < n_len) positions gather
         ref_codes[t_base + t_step*y] (uint32 math: genomes to 4 Gb),
         invalid ones get the never-matching sentinel 5."""
+    (q_base, q_step, q_comp, t_base, t_step, m_len, n_len, lo,
+     is_global, bonus) = unpack_desc(desc)
     q, t_win = gather_windows(flat_reads, ref_codes, q_base, q_step,
                               q_comp, t_base, t_step, m_len, n_len, lo,
                               M=M, W=W)
@@ -259,25 +319,20 @@ def dispatch_group_pallas(q, t_win, m_len, n_len, lo, is_global, bonus,
                         zdrop=scores.zdrop)
 
 
-_PARAM_ORDER = ("q_base", "q_step", "q_comp", "t_base", "t_step",
-                "m_len", "n_len", "lo", "is_global", "bonus")
-
-
-def dispatch_group_pallas_gather(params: dict, flat_dev, ref_dev, scores,
-                                 M: int, W: int, mesh=None):
-    """Async launch of the device-gather fused chain. `params` holds the
-    per-instance descriptor arrays (see _dp_tb_fused_gather). With a
-    mesh, descriptors are sharded along the instance dim and the
-    read/ref code arrays are replicated (every chip gathers its own
-    shard's windows locally — no collectives)."""
-    args = tuple(params[k] for k in _PARAM_ORDER)
+def dispatch_group_pallas_gather(desc: np.ndarray, flat_dev, ref_dev,
+                                 scores, M: int, W: int, mesh=None):
+    """Async launch of the device-gather fused chain. `desc` is the
+    packed (B, 4) int32 descriptor array (pack_desc). With a mesh,
+    descriptors are sharded along the instance dim and the read/ref
+    code arrays are replicated (every chip gathers its own shard's
+    windows locally — no collectives)."""
     if mesh is not None:
         fn = _sharded_gather_fn(mesh, M, W, scores.match, scores.mismatch,
                                 scores.gap_open, scores.gap_ext,
                                 scores.zdrop)
-        return fn(flat_dev, ref_dev, *args)
+        return fn(flat_dev, ref_dev, desc)
     return _dp_tb_fused_gather(
-        flat_dev, ref_dev, *args, M=M, W=W,
+        flat_dev, ref_dev, desc, M=M, W=W,
         match=scores.match, mismatch=scores.mismatch,
         gapo=scores.gap_open, gape=scores.gap_ext, zdrop=scores.zdrop)
 
@@ -287,10 +342,10 @@ def _sharded_gather_fn(mesh, M, W, match, mismatch, gapo, gape, zdrop):
     from jax.sharding import PartitionSpec as P
 
     from lamsa_tpu.parallel.mesh import DATA_AXIS
-    S = P(DATA_AXIS)
+    S = P(DATA_AXIS, None)
 
-    def body(flat, refc, *args):
-        return _dp_tb_fused_gather(flat, refc, *args, M=M, W=W,
+    def body(flat, refc, desc):
+        return _dp_tb_fused_gather(flat, refc, desc, M=M, W=W,
                                    match=match, mismatch=mismatch,
                                    gapo=gapo, gape=gape, zdrop=zdrop)
 
@@ -298,7 +353,7 @@ def _sharded_gather_fn(mesh, M, W, match, mismatch, gapo, gape, zdrop):
     # metadata, and the body is purely per-shard anyway
     return jax.jit(jax.shard_map(
         body, mesh=mesh, check_vma=False,
-        in_specs=(P(), P()) + (S,) * len(_PARAM_ORDER), out_specs=S))
+        in_specs=(P(), P(), S), out_specs=P(DATA_AXIS, None)))
 
 
 @functools.lru_cache(maxsize=None)
@@ -323,13 +378,13 @@ def collect_group_pallas(packed_dev, M):
     from lamsa_tpu import native
 
     nw = M // 32
-    E = compact_E(M)
+    Ew = compact_E(M) // 2               # event WORDS (2 events/word)
     packed = np.asarray(packed_dev)
     opbits = packed[:, :nw]
-    events = packed[:, nw:nw + E]
-    tail = packed[:, nw + E:]
+    events = packed[:, nw:nw + Ew]
+    tail = packed[:, nw + Ew:]
     term0 = tail[:, 0] & 0xFFFF
-    n_ev = tail[:, 0] >> 16
+    n_ev = (tail[:, 0] >> 16) & 0xFFFF   # 0xFFFF = overflow sentinel
     si = tail[:, 1] & 0xFFFF
     sd = tail[:, 1] >> 16
     score = tail[:, 2]

@@ -130,10 +130,12 @@ def decode_steps16(steps16_row: np.ndarray, term_row: np.ndarray,
 def decode_compact(opbits_row: np.ndarray, events_row: np.ndarray,
                    term0: int, start_i: int, n_ev: int):
     """Decode one instance's compact device-traceback output: op bitmap
-    (bit idx = DP row idx, 1 = I step, 0 = M step) plus sparse D events
-    ((row_idx << 16) | d_count, ascending). Returns None when the event
-    list was truncated on device (n_ev > len(events_row)): the caller
-    must recompute the instance. See ops/banded_sw.py::_dp_tb_fused."""
+    (bit idx = DP row idx, 1 = I step, 0 = M step) plus sparse 16-bit D
+    events ((row_idx << 5) | d_count with d_count <= 30, row-ascending;
+    events_row is the uint16 view of the packed event words). Returns
+    None when the instance overflowed on device — more events than the
+    budget, or a D run > 30 (n_ev sentinel 0xFFFF): the caller must
+    recompute it. See ops/banded_sw.py::_dp_tb_fused."""
     E = len(events_row)
     if n_ev > E:
         return None
@@ -150,8 +152,8 @@ def decode_compact(opbits_row: np.ndarray, events_row: np.ndarray,
     ptr = int(n_ev) - 1
     for r in range(int(start_i), 0, -1):
         idx = r - 1
-        if ptr >= 0 and (int(events_row[ptr]) >> 16) == idx:
-            push(OP_D, int(events_row[ptr]) & 0xFFFF)
+        if ptr >= 0 and (int(events_row[ptr]) >> 5) == idx:
+            push(OP_D, int(events_row[ptr]) & 31)
             ptr -= 1
         bit = (int(opbits_row[idx >> 5]) >> (idx & 31)) & 1
         push(OP_I if bit else OP_M, 1)

@@ -202,7 +202,7 @@ class Aligner:
         self._grids = {}
         # Pallas engine: the reference codes live on device once, and
         # DP windows are gathered there (ops/banded_sw.py
-        # _dp_tb_fused_gather) — per-chunk uploads shrink to ~8 int32
+        # _dp_tb_fused_gather) — per-chunk uploads shrink to 4 int32
         # per instance.
         from lamsa_tpu.ops.banded_sw import backend_kind, pack_ref_device
         self._ref_dev = None

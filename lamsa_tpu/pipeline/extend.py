@@ -390,7 +390,7 @@ class DpBatcher:
                   and all(i["qd"] is not None for i in insts))
         with STATS.stage(f"dp_build_{M}x{W}"):
             if gather:
-                params = self._build_params(insts, M, W, Bp)
+                desc = self._build_desc(insts, M, W, Bp)
             else:
                 arrays = self._build_arrays(insts, M, W, Bp)
         STATS.count(f"dp_cells_{M}x{W}",
@@ -399,10 +399,9 @@ class DpBatcher:
         with STATS.stage(f"dp_dispatch_{M}x{W}"):
             if gather:
                 if self.mesh is not None:
-                    params = dict(zip(params.keys(),
-                                      self._shard(*params.values())))
+                    (desc,) = self._shard(desc)
                 flat_dev, ref_dev = self.device_sources
-                dev = dispatch_group_pallas_gather(params, flat_dev,
+                dev = dispatch_group_pallas_gather(desc, flat_dev,
                                                    ref_dev, self.scores,
                                                    M, W, mesh=self.mesh)
             else:
@@ -414,31 +413,35 @@ class DpBatcher:
                                             mesh=self.mesh)
         return insts, M, W, dev
 
-    def _build_params(self, insts, M, W, Bp):
-        """Descriptor arrays for the device-gather dispatch: ~8 int32
-        per instance on the wire instead of M + (M+W) codes."""
-        p = {name: np.zeros(Bp, np.int32) for name in
-             ("q_base", "q_step", "q_comp", "t_step", "m_len", "n_len",
-              "lo", "bonus")}
-        p["t_base"] = np.zeros(Bp, np.uint32)
-        p["is_global"] = np.zeros(Bp, bool)
-        p["q_step"][:] = 1
-        p["t_step"][:] = 1
+    def _build_desc(self, insts, M, W, Bp):
+        """Packed (Bp, 4) descriptor array for the device-gather
+        dispatch (ops/banded_sw.py pack_desc wire format) from explicit
+        per-instance dicts."""
+        from lamsa_tpu.ops.banded_sw import _LO_BIAS, pack_desc
+        K = len(insts)
+        cols = {c: np.zeros(K, np.int64) for c in
+                ("qb", "qs", "qc", "tb", "ts", "m", "n", "lo", "bonus")}
+        glob = np.zeros(K, bool)
         for b, inst in enumerate(insts):
             m, n = len(inst["q"]), len(inst["t"])
             qb, qs, qc = inst["qd"]
             tb, ts = inst["td"]
-            p["q_base"][b], p["q_step"][b], p["q_comp"][b] = qb, qs, qc
-            p["t_base"][b], p["t_step"][b] = tb, ts
-            p["m_len"][b], p["n_len"][b] = m, n
+            cols["qb"][b], cols["qs"][b], cols["qc"][b] = qb, qs, qc
+            cols["tb"][b], cols["ts"][b] = tb, ts
+            cols["m"][b], cols["n"][b] = m, n
             if inst["kind"] == "global":
                 need = abs(n - m) + 1
-                p["lo"][b] = min(0, n - m) - (W - need) // 2
-                p["is_global"][b] = True
+                cols["lo"][b] = min(0, n - m) - (W - need) // 2
+                glob[b] = True
             else:
-                p["lo"][b] = -(W // 2)
-                p["bonus"][b] = inst["bonus"]
-        return p
+                cols["lo"][b] = -(W // 2)
+                cols["bonus"][b] = inst["bonus"]
+        desc = np.zeros((Bp, 4), np.int32)
+        desc[K:, 3] = _LO_BIAS            # padding rows decode to lo=0
+        desc[:K] = pack_desc(cols["qb"], cols["qs"], cols["qc"],
+                             cols["tb"], cols["ts"], cols["m"], cols["n"],
+                             cols["lo"], glob, cols["bonus"])
+        return desc
 
     @staticmethod
     def _cols_lo(sl, W):
@@ -448,37 +451,29 @@ class DpBatcher:
                         -(W // 2)).astype(np.int64)
 
     def _dispatch_cols(self, sl, M, W):
-        """Columnar twin of _dispatch_pallas: descriptor slices go
-        straight into the padded param arrays (no per-instance dicts)."""
-        from lamsa_tpu.ops.banded_sw import dispatch_group_pallas_gather
+        """Columnar twin of _dispatch_pallas: descriptor slices pack
+        straight into the (Bp, 4) wire array (no per-instance dicts)."""
+        from lamsa_tpu.ops.banded_sw import (_LO_BIAS,
+                                             dispatch_group_pallas_gather,
+                                             pack_desc)
         from lamsa_tpu.utils.timers import GLOBAL as STATS
         Bp = CHUNK_BY_M[(M, W)]
         K = len(sl["m"])
         with STATS.stage(f"dp_build_{M}x{W}"):
             sl = dict(sl)
             sl["lo"] = self._cols_lo(sl, W)
-            p = {name: np.zeros(Bp, np.int32) for name in
-                 ("q_base", "q_step", "q_comp", "t_step", "m_len",
-                  "n_len", "lo", "bonus")}
-            p["t_base"] = np.zeros(Bp, np.uint32)
-            p["is_global"] = np.zeros(Bp, bool)
-            p["q_step"][K:] = 1
-            p["t_step"][K:] = 1
-            for name, col in (("q_base", "qb"), ("q_step", "qs"),
-                              ("q_comp", "qc"), ("t_step", "ts"),
-                              ("m_len", "m"), ("n_len", "n"),
-                              ("lo", "lo"), ("bonus", "bonus")):
-                p[name][:K] = sl[col]
-            p["t_base"][:K] = sl["tb"].astype(np.uint64) \
-                .astype(np.uint32)
-            p["is_global"][:K] = sl["glob"]
+            desc = np.zeros((Bp, 4), np.int32)
+            desc[K:, 3] = _LO_BIAS        # padding rows decode to lo=0
+            desc[:K] = pack_desc(sl["qb"], sl["qs"], sl["qc"], sl["tb"],
+                                 sl["ts"], sl["m"], sl["n"], sl["lo"],
+                                 sl["glob"], sl["bonus"])
         STATS.count(f"dp_cells_{M}x{W}", int(sl["m"].sum()) * W)
         STATS.count("dp_instances", K)
         with STATS.stage(f"dp_dispatch_{M}x{W}"):
             if self.mesh is not None:
-                p = dict(zip(p.keys(), self._shard(*p.values())))
+                (desc,) = self._shard(desc)
             flat_dev, ref_dev = self.device_sources
-            dev = dispatch_group_pallas_gather(p, flat_dev, ref_dev,
+            dev = dispatch_group_pallas_gather(desc, flat_dev, ref_dev,
                                                self.scores, M, W,
                                                mesh=self.mesh)
         return sl, M, W, dev

@@ -257,3 +257,34 @@ def test_aligner_desc_path_matches_content_cpu():
     sam_c = [format_sam_record(r) for recs in out_c for r in recs]
     sam_d = [format_sam_record(r) for recs in out_d for r in recs]
     assert sam_c == sam_d
+
+
+def test_pack_desc_roundtrip(rng):
+    """pack_desc / unpack_desc must round-trip every field over the
+    full production ranges (incl. negative lo, both step signs, 4 Gb
+    t_base bit-patterns)."""
+    from lamsa_tpu.ops.banded_sw import pack_desc, unpack_desc
+
+    K = 256
+    qb = rng.integers(0, 2**30, K)
+    qs = np.where(rng.random(K) < 0.5, 1, -1)
+    qc = rng.integers(0, 2, K)
+    tb = rng.integers(0, 2**32, K, dtype=np.uint64).astype(np.int64)
+    ts = np.where(rng.random(K) < 0.5, 1, -1)
+    m = rng.integers(0, 2049, K)
+    n = rng.integers(0, 2305, K)
+    lo = rng.integers(-2304, 1, K)
+    glob = rng.random(K) < 0.5
+    bonus = np.where(glob, 0, rng.integers(0, 100, K))
+
+    desc = pack_desc(qb, qs, qc, tb, ts, m, n, lo, glob, bonus)
+    import jax.numpy as jnp
+    out = unpack_desc(jnp.asarray(desc))
+    names = ("q_base", "q_step", "q_comp", "t_base", "t_step", "m_len",
+             "n_len", "lo", "is_global", "bonus")
+    want = (qb, qs, qc, tb, ts, m, n, lo, glob, bonus)
+    for name, got, w in zip(names, out, want):
+        g = np.asarray(got)
+        if name == "t_base":
+            g = g.astype(np.int64)
+        np.testing.assert_array_equal(g, w, err_msg=name)
