@@ -269,16 +269,25 @@ def pack_ref_device(codes, rep=None):
         np.ascontiguousarray(codes, np.uint8).reshape(-1, C), rep)
 
 
+def flat_nibble(flatp, idx):
+    """Gather read codes from the 4-bit-packed flat array (2 codes per
+    byte, little nibble first — pipeline/aln.py packs it): code i lives
+    in byte i >> 1, nibble i & 1. idx is clipped defensively (callers
+    mask out-of-range elements)."""
+    b = flatp[jnp.clip(idx >> 1, 0, flatp.shape[0] - 1)].astype(jnp.int32)
+    return (b >> ((idx & 1) * 4)) & 0xF
+
+
 def gather_windows(flat_reads, ref_codes, q_base, q_step, q_comp, t_base,
                    t_step, m_len, n_len, lo, *, M, W):
     """On-device window assembly (the spec _build_arrays implements
     host-side); must produce exactly the q / t_win arrays the host
-    assembly would upload (tests/test_gather_dispatch.py). ref_codes is
+    assembly would upload (tests/test_gather_dispatch.py). flat_reads
+    is the 4-bit-packed read-code array (flat_nibble); ref_codes is
     flat uint8, or the 2D pack_ref_device layout for > 2^31 bases."""
     xq = jnp.arange(M, dtype=jnp.int32)[None, :]
     qidx = q_base[:, None] + q_step[:, None] * xq
-    qg = flat_reads[jnp.clip(qidx, 0, flat_reads.shape[0] - 1)] \
-        .astype(jnp.int32)
+    qg = flat_nibble(flat_reads, qidx)
     qg = jnp.where((q_comp[:, None] == 1) & (qg < 4), 3 - qg, qg)
     q = jnp.where(xq < m_len[:, None], qg, 4)
 

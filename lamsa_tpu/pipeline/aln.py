@@ -123,17 +123,18 @@ def _revcomp_codes(codes: np.ndarray) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("L",))
-def gather_rc(flat, offs, lens, *, L):
+def gather_rc(flatp, offs, lens, *, L):
     """Assemble the (B, L) padded read-code matrix ON DEVICE from the
-    batch's resident flat code array (read b = flat[offs[b]:offs[b] +
-    lens[b]], padded with 4) — the flat array is uploaded once per
-    batch anyway for DP window gathers, so this removes the second
-    (B, L) upload entirely (the host->device relay is the scarce
-    link). Bit-identical to the host-assembled matrix by construction
-    (tests/test_gather_dispatch.py)."""
+    batch's resident 4-bit-packed flat code array (read b =
+    codes[offs[b]:offs[b] + lens[b]], padded with 4) — the flat array
+    is uploaded once per batch anyway for DP window gathers, so this
+    removes the second (B, L) upload entirely (the host->device relay
+    is the scarce link). Bit-identical to the host-assembled matrix by
+    construction (tests/test_gather_dispatch.py)."""
+    from lamsa_tpu.ops.banded_sw import flat_nibble
     i = jnp.arange(L, dtype=jnp.int32)[None, :]
     idx = offs[:, None] + i
-    g = flat[jnp.clip(idx, 0, flat.shape[0] - 1)]
+    g = flat_nibble(flatp, idx).astype(jnp.uint8)
     return jnp.where(i < lens[:, None], g, jnp.uint8(4))
 
 
@@ -258,7 +259,11 @@ class Aligner:
         if self._ref_dev is not None:
             # flat forward read codes, device-resident for the batch;
             # padded to a power of two to keep the jit signature set
-            # closed (relay compiles cost ~a minute per signature)
+            # closed (relay compiles cost ~a minute per signature).
+            # Uploaded 4-bit packed (2 codes/byte — codes are 0..4):
+            # the flat upload is the batch's largest single transfer
+            # and the relay is the scarce link; device gathers unpack
+            # the nibble in-flight (ops/banded_sw.py flat_nibble).
             total = sum(len(c) for c in codes)
             cap = max(1024, 1 << max(0, (total - 1)).bit_length())
             flat = np.full(cap, 4, np.uint8)
@@ -269,7 +274,8 @@ class Aligner:
                 flat[pos:pos + len(c)] = c
                 pos += len(c)
             flat_offs[-1] = pos
-            device_sources = (jax.device_put(flat, self._rep),
+            flatp = flat[0::2] | (flat[1::2] << 4)
+            device_sources = (jax.device_put(flatp, self._rep),
                               self._ref_dev)
             host_sources = (flat, self.ref.codes)
 

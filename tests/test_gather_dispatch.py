@@ -17,6 +17,13 @@ def _revcomp(c):
     return comp[::-1].astype(np.uint8)
 
 
+def _pack4(flat):
+    """2-codes-per-byte pack, as pipeline/aln.py uploads flat reads."""
+    if len(flat) % 2:
+        flat = np.concatenate([flat, np.full(1, 4, np.uint8)])
+    return flat[0::2] | (flat[1::2] << 4)
+
+
 def test_gather_windows_matches_host_assembly(rng):
     M, W = 128, 128
     Lref = 5000
@@ -77,7 +84,7 @@ def test_gather_windows_matches_host_assembly(rng):
         tb[b], ts[b] = td
         ml[b], nl[b], lo_arr[b] = len(q_seg), len(t_seg), lo
 
-    q_dev, t_dev = gather_windows(flat, ref, qb, qs, qc, tb, ts, ml, nl,
+    q_dev, t_dev = gather_windows(_pack4(flat), ref, qb, qs, qc, tb, ts, ml, nl,
                                   lo_arr, M=M, W=W)
     q_dev, t_dev = np.asarray(q_dev), np.asarray(t_dev)
 
@@ -112,13 +119,13 @@ def test_two_level_ref_gather_matches_flat(rng, monkeypatch):
     lo = np.full(B, -(W // 2), np.int32)
     flat = rng.integers(0, 5, 4096).astype(np.uint8)
 
-    q1, t1 = bsw.gather_windows(flat, ref, qb, qs, qc, tb, ts, ml, nl,
+    q1, t1 = bsw.gather_windows(_pack4(flat), ref, qb, qs, qc, tb, ts, ml, nl,
                                 lo, M=M, W=W)
     monkeypatch.setattr(bsw, "REF_CHUNK_BITS", 9)
     C = 1 << 9
     pad = (-Lref) % C
     ref2 = np.concatenate([ref, np.full(pad, 4, np.uint8)]).reshape(-1, C)
-    q2, t2 = bsw.gather_windows(flat, ref2, qb, qs, qc, tb, ts, ml, nl,
+    q2, t2 = bsw.gather_windows(_pack4(flat), ref2, qb, qs, qc, tb, ts, ml, nl,
                                 lo, M=M, W=W)
     np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
@@ -146,7 +153,7 @@ def test_gather_rc_matches_host_assembly(rng):
         lens[b] = len(r)
         want[b, :len(r)] = r
 
-    got = np.asarray(gather_rc(flat, offs, lens, L=L))
+    got = np.asarray(gather_rc(_pack4(flat), offs, lens, L=L))
     np.testing.assert_array_equal(got, want)
 
 
