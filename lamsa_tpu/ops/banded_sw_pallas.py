@@ -16,9 +16,10 @@ the inputs once plus the direction bits out.
 
 Mosaic TPU constraints shape two details:
   * lane-dim dynamic offsets must be 128-aligned -> per row-block we
-    slice q/t at aligned offsets and per-row dynamic-rotate
-    (``pltpu.roll`` with a traced shift) the needed element/window to
-    lane 0;
+    slice q/t at aligned offsets, dynamic-rotate (``pltpu.roll`` with a
+    traced shift) ONCE per 32-row group to bring the group's first
+    element to lane 0, then extract each unrolled row's q element / t
+    window with static rolls (immediate-shift lane shuffles);
   * sublane-dim dynamic stores must be 8-aligned -> direction bytes are
     packed 4 rows per int32 word (word w holds rows 4w..4w+3 in its
     bytes, little-endian) and flushed 8 words (32 rows) at a time.
@@ -62,7 +63,7 @@ def _shift_left(x, s, fill, lanes, W):
 
 def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref, zdrop_ref,
             dirs_ref, hlast_ref, best_ref,
-            h_scr, f_scr, hlast_scr, bls_scr, blr_scr, alive_scr, wa_scr, *,
+            h_scr, f_scr, hlast_scr, bls_scr, blr_scr, alive_scr, *,
             match, mismatch, gapo, gape, G, W, RB, n_row_blocks, DT, NEG):
     rb = pl.program_id(1)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (G, W), 1)
@@ -99,10 +100,13 @@ def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref, zdrop_ref,
     q_blk = q_ref[:, pl.ds(blk0, RB)].astype(DT)            # (G, RB)
     TK = RB + W
     t_blk = t_ref[:, pl.ds(blk0, TK)].astype(DT)            # (G, RB+W)
-    sub8 = jax.lax.broadcasted_iota(jnp.int32, (G, _WORDS_PER_STORE, W), 1)
 
-    def row_compute(r):
-        """One DP row; returns the packed direction nibble (G, W) i32."""
+    def row_compute(r, qc, tc):
+        """One DP row; returns the packed direction nibble (G, W) i32.
+        qc (G, 1) = q[i-1]; tc (G, W) = the row's t window — extracted
+        by the caller with STATIC rotates from a per-group rotated
+        block (one dynamic tpu.dynamic_rotate per 32 rows instead of
+        two per row; dynamic rotates were the kernel's costliest op)."""
         i = rb * RB + r + 1
         h_prev = h_scr[:]
         f_prev = f_scr[:]
@@ -112,8 +116,6 @@ def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref, zdrop_ref,
         f_ext_bit = f_up >= h_up - gapo
         f_cur = jnp.maximum(jnp.maximum(h_up - gapo, f_up) - gape, NEG)
 
-        qc = pltpu.roll(q_blk, RB - r, axis=1)[:, 0:1]      # (G,1) = q[i-1]
-        tc = pltpu.roll(t_blk, TK - r, axis=1)[:, :W]       # (G,W) t window
         s = jnp.where((qc == tc) & (qc < 4) & (tc < 4), match_s, mismatch_s)
         diag = jnp.maximum(h_prev + s, NEG)
 
@@ -180,20 +182,30 @@ def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref, zdrop_ref,
         @pl.when((rb * RB + g * _ROWS_PER_GROUP < max_m)
                  & (jnp.max(alive_scr[:]) > 0))
         def _run():
-            def word_body(w, _):
-                def row4_body(p, word_acc):
-                    r = g * _ROWS_PER_GROUP + w * _ROWS_PER_WORD + p
-                    d_byte = row_compute(r)
-                    return word_acc | (d_byte << (8 * p))
-                word = jax.lax.fori_loop(
-                    0, _ROWS_PER_WORD, row4_body,
-                    jnp.zeros((G, W), jnp.int32))
-                wa_scr[:] = jnp.where(sub8 == w, word[:, None, :],
-                                      wa_scr[:])
-                return 0
-            jax.lax.fori_loop(0, _WORDS_PER_STORE, word_body, 0)
+            # One dynamic rotate per (G, RB) q / (G, RB+W) t block per
+            # 32-row group brings lane g*32 to lane 0; the 32 rows are
+            # then unrolled statically and each row's q element / t
+            # window comes from a STATIC roll (lane shuffle with an
+            # immediate — far cheaper than tpu.dynamic_rotate, which
+            # lowers to a log-step shuffle cascade per row).
+            g0 = g * _ROWS_PER_GROUP
+            q_grp = pltpu.roll(q_blk, RB - g0, axis=1)
+            t_grp = pltpu.roll(t_blk, TK - g0, axis=1)
+            words = []
+            for w in range(_WORDS_PER_STORE):
+                word = jnp.zeros((G, W), jnp.int32)
+                for p in range(_ROWS_PER_WORD):
+                    k = w * _ROWS_PER_WORD + p          # row within group
+                    qc = q_grp[:, 0:1] if k == 0 else \
+                        pltpu.roll(q_grp, RB - k, axis=1)[:, 0:1]
+                    tc = (t_grp if k == 0 else
+                          pltpu.roll(t_grp, TK - k, axis=1))[:, :W]
+                    d_byte = row_compute(g0 + k, qc, tc)
+                    word = word | (d_byte << (8 * p))
+                words.append(word)
             off = pl.multiple_of(g * _WORDS_PER_STORE, _WORDS_PER_STORE)
-            dirs_ref[:, pl.ds(off, _WORDS_PER_STORE), :] = wa_scr[:]
+            dirs_ref[:, pl.ds(off, _WORDS_PER_STORE), :] = \
+                jnp.stack(words, axis=1)
             # end-of-group zdrop check (ops/oracle.py ZDROP_GROUP
             # contract): freeze instances whose current row max fell
             # more than zdrop below their running best
@@ -248,7 +260,7 @@ def _pick_tile(B: int, M: int, W: int) -> int:
             continue
         est = (G * 4 * (M + (M + W))            # q + t blocks
                + 2 * G * (128 // 4) * W * 4     # dirs out block (dbl-buf)
-               + G * 8 * W * 4                  # wa_scr
+               + G * 8 * W * 4                  # per-group word stack
                + 5 * G * W * 4)                 # h/f/hlast + lane-best
         if est <= _VMEM_BUDGET:
             return G
@@ -331,7 +343,6 @@ def banded_sw_pallas(q, t_win, m_len, n_len, lo, zdrop=None, *, match,
             pltpu.VMEM((G, W), jnp.int32),       # per-lane best score
             pltpu.VMEM((G, W), jnp.int32),       # per-lane best row
             pltpu.VMEM((G, W), jnp.int32),       # alive (zdrop) flag
-            pltpu.VMEM((G, _WORDS_PER_STORE, W), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=B * M * W * 20, bytes_accessed=B * M * W,
