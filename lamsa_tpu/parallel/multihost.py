@@ -51,14 +51,19 @@ def merge_sam_shards(local_blobs: list[bytes]) -> list[bytes] | None:
     from jax.experimental import multihost_utils
     import numpy as np
 
-    # fixed-shape gather: (max_batches, max_len) uint8 padded
+    # fixed-shape gather: (max_batches, max_len) uint8 padded.
+    # process_allgather requires identical shapes on every process, so
+    # the row count pads to the GLOBAL max batch count (with
+    # round-robin ownership the counts differ by one when the total
+    # isn't a multiple of the process count).
     n = len(local_blobs)
     counts = multihost_utils.process_allgather(np.asarray([n]))
     total = int(counts.sum())
+    nmax = int(counts.max())
     maxlen = max((len(b) for b in local_blobs), default=0)
     maxlen_all = int(multihost_utils.process_allgather(
         np.asarray([maxlen])).max())
-    buf = np.zeros((n, maxlen_all + 8), np.uint8)
+    buf = np.zeros((nmax, maxlen_all + 8), np.uint8)
     for i, b in enumerate(local_blobs):
         buf[i, :8] = np.frombuffer(
             int(len(b)).to_bytes(8, "little"), np.uint8)
