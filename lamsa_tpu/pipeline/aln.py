@@ -117,6 +117,39 @@ def _seed_chain_packed_fm(rc, lens, grid, fm_dev, *, k, cands_per_seed,
                             max_dist=max_dist, diag_slack=diag_slack)
 
 
+def _trim_boundary_indels(merged, pos, qs_cov, qe_cov):
+    """Canonicalize a stitched clip-less CIGAR's boundaries: alignments
+    must start and end with M (samtools/hts-specs convention; the
+    validator io/samcheck.py enforces it). Boundary I runs become soft
+    clip (the covered query span shrinks); boundary D runs are dropped,
+    a leading one advancing pos. Returns (runs, pos, qs_cov, qe_cov),
+    runs=None if nothing alignable remains."""
+    from lamsa_tpu.io.sam import OP_D, OP_I
+    a, b = 0, len(merged)
+    while a < b:
+        op, ln = int(merged[a]) & 0xF, int(merged[a]) >> 4
+        if op == OP_I:
+            qs_cov += ln
+        elif op == OP_D:
+            pos += ln
+        else:
+            break
+        a += 1
+    while b > a:
+        op, ln = int(merged[b - 1]) & 0xF, int(merged[b - 1]) >> 4
+        if op == OP_I:
+            qe_cov -= ln
+        elif op != OP_D:
+            break
+        b -= 1
+    if a == 0 and b == len(merged):
+        return merged, pos, qs_cov, qe_cov
+    out = merged[a:b]
+    if not ((out & 0xF) == OP_M).any():
+        return None, pos, qs_cov, qe_cov
+    return out, pos, qs_cov, qe_cov
+
+
 def _revcomp_codes(codes: np.ndarray) -> np.ndarray:
     from lamsa_tpu import native
     return native.revcomp4(codes)
@@ -611,6 +644,15 @@ class Aligner:
 
         merged = merge_runs(np.concatenate(segs))
         if not ((merged & 0xF) == OP_M).any():
+            return None
+        # canonical SAM boundaries: an extension's to-end path may end
+        # (or a gap at the part edge may start) with an insertion or
+        # deletion run; convert boundary I into soft clip (shrinking the
+        # covered query span) and drop boundary D (advancing pos on the
+        # left). AS keeps the DP score; NM/MD are computed after.
+        merged, pos, qs_cov, qe_cov = _trim_boundary_indels(
+            merged, pos, qs_cov, qe_cov)
+        if merged is None:
             return None
 
         from lamsa_tpu import native
