@@ -46,6 +46,9 @@ def _load():
     lib.lamsa_decode_compact.argtypes = [i32p, u16p, i32p, i32p, i32p, c,
                                          c, c, u32p, c, i32p]
     lib.lamsa_decode_compact.restype = c
+    lib.lamsa_decode_compact_wide.argtypes = [i32p, i32p, i32p, i32p,
+                                              i32p, c, c, c, u32p, c, i32p]
+    lib.lamsa_decode_compact_wide.restype = c
     lib.lamsa_banded_sw_tb.argtypes = [i8p, c, i8p, c, c, c, c, c, c, c,
                                        c, c, u32p, c, i32p]
     lib.lamsa_banded_sw_tb.restype = c
@@ -197,23 +200,27 @@ def decode_steps16_batch(steps16: np.ndarray, term: np.ndarray,
 
 def decode_compact_batch(opbits: np.ndarray, events: np.ndarray,
                          term0: np.ndarray, start_i: np.ndarray,
-                         n_ev: np.ndarray, maxc: int = MAXC_DEFAULT):
+                         n_ev: np.ndarray, maxc: int = MAXC_DEFAULT,
+                         wide: bool = False):
     """Batch decode of the compact device-traceback output (op bitmap +
-    sparse 16-bit D events packed 2-per-int32-word; see
-    ops/banded_sw.py::_dp_tb_fused). Instances that overflowed on
-    device (too many events, or a D run > 30) decode to None — callers
-    recompute those with banded_sw_tb."""
+    sparse D events; see ops/banded_sw.py::_dp_tb_fused). Narrow
+    format: 16-bit events packed 2-per-int32-word; wide (M > 2048
+    buckets): one int32 event per word (ops/banded_sw.py compact_wide).
+    Instances that overflowed on device (too many events, or a D run
+    too long for the count field) decode to None — callers recompute
+    those with banded_sw_tb."""
     lib = _load()
     B, nw = opbits.shape
-    # little-endian uint16 view: event e of instance b at [b, e]
-    ev16 = np.ascontiguousarray(events, np.int32).view(np.uint16)
-    E = ev16.shape[1]
+    evs = np.ascontiguousarray(events, np.int32)
+    # narrow: little-endian uint16 view, event e of instance b at [b, e]
+    evv = evs if wide else evs.view(np.uint16)
+    E = evv.shape[1]
     if lib is None:
         from lamsa_tpu.ops.traceback import decode_compact
         res = []
         for b in range(B):
-            c = decode_compact(opbits[b], ev16[b], int(term0[b]),
-                               int(start_i[b]), int(n_ev[b]))
+            c = decode_compact(opbits[b], evv[b], int(term0[b]),
+                               int(start_i[b]), int(n_ev[b]), wide=wide)
             res.append(None if c is None else cigar_to_runs(c))
         return res
     opbits = np.ascontiguousarray(opbits, np.int32)
@@ -223,8 +230,9 @@ def decode_compact_batch(opbits: np.ndarray, events: np.ndarray,
     # a decode emits <= 2 runs per DP row + the terminal D run
     maxc = min(maxc, 2 * nw * 32 + 2)
     out_ops, out_n = _out_buffers(B, maxc)
-    lib.lamsa_decode_compact(opbits, ev16, t0, si, ne, B, nw, E,
-                             out_ops.reshape(-1), maxc, out_n)
+    fn = lib.lamsa_decode_compact_wide if wide else lib.lamsa_decode_compact
+    fn(opbits, evv, t0, si, ne, B, nw, E, out_ops.reshape(-1), maxc,
+       out_n)
     res = []
     for b in range(B):
         if out_n[b] == -2:              # event overflow: recompute
@@ -232,8 +240,8 @@ def decode_compact_batch(opbits: np.ndarray, events: np.ndarray,
         elif out_n[b] < 0:              # defensive: run-buffer overflow
             from lamsa_tpu.ops.traceback import decode_compact
             res.append(cigar_to_runs(decode_compact(
-                opbits[b], ev16[b], int(t0[b]), int(si[b]),
-                int(ne[b]))))
+                opbits[b], evv[b], int(t0[b]), int(si[b]),
+                int(ne[b]), wide=wide)))
         else:
             res.append(_runs_to_cigar(out_ops[b], int(out_n[b])))
     return res

@@ -161,6 +161,40 @@ int lamsa_decode_compact(const int32_t* opbits, const uint16_t* events,
     return rc;
 }
 
+// Wide-event variant for buckets with M > 2048 (DP row indices do not
+// fit the narrow 16-bit event): one int32 event per word,
+// (row << 13) | count with count <= 8191, ascending by row,
+// 0x7FFFFFFF padding. See ops/banded_sw.py::compact_wide.
+int lamsa_decode_compact_wide(const int32_t* opbits,
+                              const int32_t* events,
+                              const int32_t* term0, const int32_t* start_i,
+                              const int32_t* n_ev, int32_t B, int32_t nw,
+                              int32_t E, uint32_t* out_ops,
+                              int32_t out_stride, int32_t* out_n) {
+    int rc = 0;
+    for (int32_t b = 0; b < B; b++) {
+        if (n_ev[b] > E) { out_n[b] = -2; rc = -1; continue; }
+        RunBuf rb{out_ops + (int64_t)b * out_stride, out_stride, 0, false};
+        const int32_t* ob = opbits + (int64_t)b * nw;
+        const int32_t* ev = events + (int64_t)b * E;
+        int32_t ptr = n_ev[b] - 1;
+        for (int32_t r = start_i[b]; r >= 1; r--) {
+            int32_t idx = r - 1;
+            if (ptr >= 0 && (ev[ptr] >> 13) == idx) {
+                rb.push(OP_D, ev[ptr] & 8191);
+                ptr--;
+            }
+            int bit = (ob[idx >> 5] >> (idx & 31)) & 1;
+            rb.push(bit ? OP_I : OP_M, 1);
+        }
+        rb.push(OP_D, term0[b]);
+        reverse_runs(rb.out, rb.count);
+        out_n[b] = rb.overflow ? -1 : rb.count;
+        if (rb.overflow) rc = -1;
+    }
+    return rc;
+}
+
 // ------------------------------------------------- banded dirs traceback
 
 // dirs: uint8[M, W], row r at index r-1; lane d of row i = cell

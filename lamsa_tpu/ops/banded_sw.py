@@ -79,13 +79,30 @@ def compact_E(M: int) -> int:
     M-row bucket. D events are rows whose traceback emits a deletion
     run — one per deletion in the alignment, so the budget only needs
     to cover plausible indel counts (4% deletions on an M-row gap is
-    M/25 runs); overflow (> E deletions in one gap, or any run > 30)
-    is flagged per instance and recomputed host-side bit-identically
-    (native banded_sw_tb). Sized M/16 + 8 (always even — events pack
-    two per int32 word): the D2H transfer of compact results is the
-    collect bottleneck on relay-attached chips; event words were ~70%
-    of it at the dominant (128, 128) bucket before the 16-bit pack."""
+    M/25 runs); overflow (> E deletions in one gap, or any run too
+    long for the event's count field) is flagged per instance and
+    recomputed host-side bit-identically (native banded_sw_tb). Sized
+    M/16 + 8 (always even — narrow events pack two per int32 word):
+    the D2H transfer of compact results is the collect bottleneck on
+    relay-attached chips; event words were ~70% of it at the dominant
+    (128, 128) bucket before the 16-bit pack."""
     return M // 16 + 8
+
+
+def compact_wide(M: int) -> bool:
+    """Row indices stop fitting the 16-bit narrow event encoding
+    ((row << 5) | cnt) above row 2047: buckets beyond that (the
+    (5120, 256) chain_max_dist bucket) use wide 32-bit events, one per
+    word, (row << 13) | cnt with cnt <= 8191 — which also covers the
+    long D runs (up to ~|n-m| ~ chain_diag_slack + drift) such gaps
+    legitimately contain, so they never hit the host-recompute path."""
+    return M > 2048
+
+
+def compact_words(M: int) -> int:
+    """Event WORDS on the wire for an M-row bucket."""
+    E = compact_E(M)
+    return E if compact_wide(M) else E // 2
 
 
 def _dp_tb_core(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
@@ -133,7 +150,9 @@ def _dp_tb_core(q, t_win, m_len, n_len, lo, is_global, bonus, *, match,
 def compact_encode(steps, term, si, sd, score):
     """Pack per-row step words + terminals into the compact wire format
     (see _dp_tb_core docstring). Pure jnp; unit-tested round-trip
-    against the step-word decoder on CPU (tests/test_compact_tb.py)."""
+    against the step-word decoder on CPU (tests/test_compact_tb.py).
+    Buckets with M > 2048 switch to wide 32-bit events (compact_wide):
+    narrow (row << 5) | cnt events overflow 16 bits at row 2048."""
     B, M = steps.shape
     E = compact_E(M)
     idxr = jax.lax.broadcasted_iota(jnp.int32, (B, M), 1)
@@ -146,11 +165,17 @@ def compact_encode(steps, term, si, sd, score):
         jnp.sum(ibit.reshape(B, M // 32, 32) << shifts[None, None, :],
                 axis=2), jnp.int32)
     ev = active & (cnt > 0) & (op != 2)
-    big = ev & (cnt > 30)                # run too long for the 5-bit cnt
-    evh = jnp.where(ev & ~big, (idxr << 5) | cnt, jnp.int32(0xFFFF))
-    evh = jnp.sort(evh, axis=1)[:, :E]   # rows are unique -> row order
-    pair = evh.reshape(B, E // 2, 2)
-    evw = pair[:, :, 0] | (pair[:, :, 1] << 16)
+    if compact_wide(M):
+        big = ev & (cnt > 8191)          # 13-bit wide count field
+        evw = jnp.where(ev & ~big, (idxr << 13) | cnt,
+                        jnp.int32(0x7FFFFFFF))
+        evw = jnp.sort(evw, axis=1)[:, :E]   # rows unique -> row order
+    else:
+        big = ev & (cnt > 30)            # run too long for the 5-bit cnt
+        evh = jnp.where(ev & ~big, (idxr << 5) | cnt, jnp.int32(0xFFFF))
+        evh = jnp.sort(evh, axis=1)[:, :E]
+        pair = evh.reshape(B, E // 2, 2)
+        evw = pair[:, :, 0] | (pair[:, :, 1] << 16)
     n_ev = jnp.sum(ev, axis=1).astype(jnp.int32)
     n_ev = jnp.where(jnp.any(big, axis=1), jnp.int32(0xFFFF), n_ev)
     tail = jnp.concatenate(
@@ -387,7 +412,7 @@ def collect_group_pallas(packed_dev, M):
     from lamsa_tpu import native
 
     nw = M // 32
-    Ew = compact_E(M) // 2               # event WORDS (2 events/word)
+    Ew = compact_words(M)
     packed = np.asarray(packed_dev)
     opbits = packed[:, :nw]
     events = packed[:, nw:nw + Ew]
@@ -397,5 +422,6 @@ def collect_group_pallas(packed_dev, M):
     si = tail[:, 1] & 0xFFFF
     sd = tail[:, 1] >> 16
     score = tail[:, 2]
-    cigars = native.decode_compact_batch(opbits, events, term0, si, n_ev)
+    cigars = native.decode_compact_batch(opbits, events, term0, si, n_ev,
+                                         wide=compact_wide(M))
     return cigars, score, si, sd

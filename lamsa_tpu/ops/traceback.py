@@ -128,17 +128,22 @@ def decode_steps16(steps16_row: np.ndarray, term_row: np.ndarray,
 
 
 def decode_compact(opbits_row: np.ndarray, events_row: np.ndarray,
-                   term0: int, start_i: int, n_ev: int):
+                   term0: int, start_i: int, n_ev: int,
+                   wide: bool = False):
     """Decode one instance's compact device-traceback output: op bitmap
-    (bit idx = DP row idx, 1 = I step, 0 = M step) plus sparse 16-bit D
-    events ((row_idx << 5) | d_count with d_count <= 30, row-ascending;
-    events_row is the uint16 view of the packed event words). Returns
-    None when the instance overflowed on device — more events than the
-    budget, or a D run > 30 (n_ev sentinel 0xFFFF): the caller must
+    (bit idx = DP row idx, 1 = I step, 0 = M step) plus sparse D
+    events, row-ascending. Narrow events (M <= 2048 buckets) are
+    (row_idx << 5) | d_count with d_count <= 30 (events_row is the
+    uint16 view of the packed event words); wide events (M > 2048,
+    ops/banded_sw.py compact_wide) are one int32 per word,
+    (row_idx << 13) | d_count with d_count <= 8191. Returns None when
+    the instance overflowed on device — more events than the budget,
+    or a D run too long (n_ev sentinel 0xFFFF): the caller must
     recompute it. See ops/banded_sw.py::_dp_tb_fused."""
     E = len(events_row)
     if n_ev > E:
         return None
+    rsh, cmask = (13, 8191) if wide else (5, 31)
     ops: list[list[int]] = []
 
     def push(op, ln):
@@ -152,8 +157,8 @@ def decode_compact(opbits_row: np.ndarray, events_row: np.ndarray,
     ptr = int(n_ev) - 1
     for r in range(int(start_i), 0, -1):
         idx = r - 1
-        if ptr >= 0 and (int(events_row[ptr]) >> 5) == idx:
-            push(OP_D, int(events_row[ptr]) & 31)
+        if ptr >= 0 and (int(events_row[ptr]) >> rsh) == idx:
+            push(OP_D, int(events_row[ptr]) & cmask)
             ptr -= 1
         bit = (int(opbits_row[idx >> 5]) >> (idx & 31)) & 1
         push(OP_I if bit else OP_M, 1)

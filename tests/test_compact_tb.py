@@ -96,6 +96,91 @@ def test_native_decode_compact_matches_python(rng):
                 decode_compact(opbits, e16, term0, si, ne))
 
 
+def test_compact_encode_roundtrip_wide(rng):
+    """M > 2048 buckets use wide 32-bit events (round-3 fix: narrow
+    (row << 5) | cnt events silently overflowed 16 bits at rows >=
+    2048, corrupting CIGARs of the (5120, 256) chain_max_dist bucket).
+    D events at high rows and runs of 31..8191 must round-trip through
+    compact_encode -> collect parse -> native decode; only runs > 8191
+    may mark overflow."""
+    import jax.numpy as jnp
+
+    from lamsa_tpu.ops.banded_sw import (compact_E, compact_encode,
+                                         compact_wide, compact_words)
+
+    M, B = 5120, 8
+    assert compact_wide(M)
+    steps = np.zeros((B, M), np.int32)
+    sis = np.zeros(B, np.int32)
+    t0s = np.zeros(B, np.int32)
+    for b in range(B):
+        si = int(rng.integers(M // 2, M + 1))
+        sis[b] = si
+        t0s[b] = int(rng.integers(0, 40))
+        ops = rng.integers(0, 2, M)
+        # sparse runs incl. > 30 (narrow would overflow) at high rows
+        cnts = np.where(rng.random(M) < 0.02,
+                        rng.integers(1, 200, M), 0)
+        cnts[min(3000, si - 1)] = 150          # guaranteed high-row run
+        steps[b, :si] = cnts[:si] | (ops[:si] << 16)
+    term = np.zeros((B, 8), np.int32)
+    term[:, 0] = t0s
+    sd = rng.integers(0, 100, B).astype(np.int32)
+    score = rng.integers(-500, 500, B).astype(np.int32)
+
+    packed = np.asarray(compact_encode(
+        jnp.asarray(steps), jnp.asarray(term), jnp.asarray(sis),
+        jnp.asarray(sd), jnp.asarray(score)))
+
+    nw, Ew = M // 32, compact_words(M)
+    opb = packed[:, :nw]
+    evs = packed[:, nw:nw + Ew]
+    tail = packed[:, nw + Ew:]
+    assert (tail[:, 1] & 0xFFFF == sis).all()
+    assert (tail[:, 2] == score).all()
+    n_ev = (tail[:, 0] >> 16) & 0xFFFF
+    got = native.decode_compact_batch(opb, evs, tail[:, 0] & 0xFFFF,
+                                      sis, n_ev, wide=True)
+    for b in range(B):
+        si = int(sis[b])
+        n_real = int(np.sum((steps[b, :si] & 0xFFFF) > 0))
+        if n_real > compact_E(M):
+            assert got[b] is None, b
+            continue
+        want = decode_steps(steps[b], np.array([t0s[b], 0], np.int32), si)
+        assert got[b] is not None, b
+        assert cpairs(got[b]) == cpairs(want), b
+
+
+def test_compact_wide_python_fallback_matches_native(rng, monkeypatch):
+    """The pure-Python wide decode (no native lib) must agree."""
+    import jax.numpy as jnp
+
+    from lamsa_tpu.ops.banded_sw import compact_encode, compact_words
+
+    M, B = 5120, 2
+    steps = np.zeros((B, M), np.int32)
+    steps[:, 2500] = 40                       # D run, high row
+    steps[:, 100] = 1 | (1 << 16)             # I with D run, low row
+    sis = np.full(B, 4096, np.int32)
+    term = np.zeros((B, 8), np.int32)
+    sd = np.zeros(B, np.int32)
+    score = np.zeros(B, np.int32)
+    packed = np.asarray(compact_encode(
+        jnp.asarray(steps), jnp.asarray(term), jnp.asarray(sis),
+        jnp.asarray(sd), jnp.asarray(score)))
+    nw, Ew = M // 32, compact_words(M)
+    n_ev = (packed[:, nw + Ew] >> 16) & 0xFFFF
+    args = (packed[:, :nw], packed[:, nw:nw + Ew],
+            packed[:, nw + Ew] & 0xFFFF, sis, n_ev)
+    want = native.decode_compact_batch(*args, wide=True)
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)
+    got = native.decode_compact_batch(*args, wide=True)
+    for a, b in zip(want, got):
+        assert cpairs(a) == cpairs(b)
+
+
 def test_banded_sw_tb_matches_oracle(rng):
     """Arbitrary-start traceback recompute (the overflow fallback) must
     equal the oracle walk from the same cell."""
