@@ -26,11 +26,16 @@ Mosaic TPU constraints shape two details:
     Packed form is also what the native traceback consumes — 1/4 the
     HBM->host traffic of byte dirs.
 
-Score lanes are int32; the int16 variant (score_dtype="int16",
-G=16 tiles) is implemented and correctness-tested but blocked on this
-toolchain — Mosaic has no sub-32-bit tpu.dynamic_rotate lowering, and
-rolls dominate this kernel. BASELINE.json's "int8/int16 score lanes"
-target resumes when the compiler supports it.
+Score lanes are int32; the int16 variant (score_dtype="int16") is
+implemented, bit-exact in interpret mode, and its rolls are now routed
+through a pltpu.bitcast-to-int32 sublane-pair trick (_roll) that
+sidesteps Mosaic's missing sub-32-bit tpu.rotate. It still cannot
+compile here: probed on this toolchain (2026-08-20), Mosaic fails to
+legalize EVERY int16 vector ALU op — arith.maxsi ("failed to
+legalize"), comparisons ("Target does not support this comparison"),
+arith.shli, arith.muli — so int16 score lanes have no hardware path at
+all on this stack, not just no rotate. BASELINE.json's "int8/int16
+score lanes" target resumes when the compiler grows 16-bit VPU ops.
 """
 
 from __future__ import annotations
@@ -50,15 +55,29 @@ _WORDS_PER_STORE = 8
 _ROWS_PER_GROUP = _ROWS_PER_WORD * _WORDS_PER_STORE   # 32
 
 
+def _roll(x, s):
+    """Lane-axis rotate that also works for int16 data. Mosaic has no
+    sub-32-bit tpu.rotate/tpu.dynamic_rotate, so for int16 we
+    reinterpret sublane PAIRS as int32 words (pltpu.bitcast packs rows
+    2g and 2g+1 of the sublane dim into one word), rotate at 32-bit
+    width, and reinterpret back. Lane semantics are unchanged — both
+    packed rows move together — and the rotate touches half the vregs,
+    which is the point of the int16 engine."""
+    if x.dtype == jnp.int16:
+        x32 = pltpu.bitcast(x, jnp.int32)
+        return pltpu.bitcast(pltpu.roll(x32, s, axis=1), jnp.int16)
+    return pltpu.roll(x, s, axis=1)
+
+
 def _shift_right(x, s, fill, lanes):
     """lane d <- x[d - s] (fill for d < s)."""
-    return jnp.where(lanes < s, fill, pltpu.roll(x, s, axis=1))
+    return jnp.where(lanes < s, fill, _roll(x, s))
 
 
 def _shift_left(x, s, fill, lanes, W):
     """lane d <- x[d + s] (fill for d >= W - s). pltpu.roll requires a
     non-negative shift, so left-shift-by-s is roll-by-(W - s)."""
-    return jnp.where(lanes >= W - s, fill, pltpu.roll(x, W - s, axis=1))
+    return jnp.where(lanes >= W - s, fill, _roll(x, W - s))
 
 
 def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref, zdrop_ref,
@@ -89,7 +108,7 @@ def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref, zdrop_ref,
         # the cross-lane reduction happens ONCE in _fin instead of
         # every row — the old per-row max+argmin pair was ~1/3 of the
         # row's op budget
-        bls_scr[:] = h0.astype(jnp.int32)
+        bls_scr[:] = h0
         blr_scr[:] = jnp.zeros((G, W), jnp.int32)
         alive_scr[:] = jnp.ones((G, W), jnp.int32)
 
@@ -161,9 +180,8 @@ def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref, zdrop_ref,
         aliveb = alive_scr[:] > 0
         hlast_scr[:] = jnp.where((i == m) & aliveb, h, hlast_scr[:])
 
-        h32 = h.astype(jnp.int32)
-        imp = (h32 > bls_scr[:]) & aliveb  # strict > keeps earliest row
-        bls_scr[:] = jnp.where(imp, h32, bls_scr[:])
+        imp = (h > bls_scr[:]) & aliveb    # strict > keeps earliest row
+        bls_scr[:] = jnp.where(imp, h, bls_scr[:])
         blr_scr[:] = jnp.where(imp, i, blr_scr[:])
 
         h_scr[:] = h
@@ -189,17 +207,17 @@ def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref, zdrop_ref,
             # immediate — far cheaper than tpu.dynamic_rotate, which
             # lowers to a log-step shuffle cascade per row).
             g0 = g * _ROWS_PER_GROUP
-            q_grp = pltpu.roll(q_blk, RB - g0, axis=1)
-            t_grp = pltpu.roll(t_blk, TK - g0, axis=1)
+            q_grp = _roll(q_blk, RB - g0)
+            t_grp = _roll(t_blk, TK - g0)
             words = []
             for w in range(_WORDS_PER_STORE):
                 word = jnp.zeros((G, W), jnp.int32)
                 for p in range(_ROWS_PER_WORD):
                     k = w * _ROWS_PER_WORD + p          # row within group
                     qc = q_grp[:, 0:1] if k == 0 else \
-                        pltpu.roll(q_grp, RB - k, axis=1)[:, 0:1]
+                        _roll(q_grp, RB - k)[:, 0:1]
                     tc = (t_grp if k == 0 else
-                          pltpu.roll(t_grp, TK - k, axis=1))[:, :W]
+                          _roll(t_grp, TK - k))[:, :W]
                     d_byte = row_compute(g0 + k, qc, tc)
                     word = word | (d_byte << (8 * p))
                 words.append(word)
@@ -209,9 +227,13 @@ def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref, zdrop_ref,
             # end-of-group zdrop check (ops/oracle.py ZDROP_GROUP
             # contract): freeze instances whose current row max fell
             # more than zdrop below their running best
+            # int16 reductions are unsupported by Mosaic: widen first
+            # (a no-op convert in the int32 engine, 1/32 rows in int16)
             zs = zdrop_ref[:, 0][:, None]
-            cur = jnp.max(h_scr[:], axis=1, keepdims=True).astype(jnp.int32)
-            bb = jnp.max(bls_scr[:], axis=1, keepdims=True)
+            cur = jnp.max(h_scr[:].astype(jnp.int32), axis=1,
+                          keepdims=True)
+            bb = jnp.max(bls_scr[:].astype(jnp.int32), axis=1,
+                         keepdims=True)
             kill = (zs > 0) & (cur < bb - zs)
             alive_scr[:] = jnp.where(kill, 0, alive_scr[:])
         return 0
@@ -224,7 +246,7 @@ def _kernel(q_ref, t_ref, mlen_ref, nlen_ref, lo_ref, zdrop_ref,
         # fold per-lane (score, earliest row) into the global best cell
         # with the oracle tie-break: max score, then smallest row, then
         # smallest lane
-        bls = bls_scr[:]
+        bls = bls_scr[:].astype(jnp.int32)
         blr = blr_scr[:]
         smax = jnp.max(bls, axis=1, keepdims=True)
         at = bls == smax
@@ -246,7 +268,7 @@ NEG_INF16 = -30000      # int16 floor; live-path scores stay >> above it
 _VMEM_BUDGET = 11 * 2**20
 
 
-def _pick_tile(B: int, M: int, W: int) -> int:
+def _pick_tile(B: int, M: int, W: int, itemsize: int = 4) -> int:
     """Largest instance tile that divides B, fits VMEM, and is <= 128.
 
     Measured on TPU v5e (2026-08-18, B*M*W cells/s on full-length
@@ -255,16 +277,17 @@ def _pick_tile(B: int, M: int, W: int) -> int:
     loop is latency-bound; G=128 gives 16 vregs per op to pipeline.
     G=256 regresses (VMEM pressure / spills) where it compiles at all.
     """
+    floor = 16 if itemsize == 2 else 8      # int16 sublane tile is 16
     for G in (128, 64, 32, 16, 8):
-        if B % G:
+        if B % G or G < floor:
             continue
-        est = (G * 4 * (M + (M + W))            # q + t blocks
+        est = (G * itemsize * (M + (M + W))     # q + t blocks
                + 2 * G * (128 // 4) * W * 4     # dirs out block (dbl-buf)
                + G * 8 * W * 4                  # per-group word stack
-               + 5 * G * W * 4)                 # h/f/hlast + lane-best
+               + G * W * (4 * itemsize + 8))    # h/f/hlast/bls + blr/alive
         if est <= _VMEM_BUDGET:
             return G
-    return 8
+    return floor
 
 
 @functools.partial(jax.jit, static_argnames=("match", "mismatch", "gapo",
@@ -296,7 +319,7 @@ def banded_sw_pallas(q, t_win, m_len, n_len, lo, zdrop=None, *, match,
         zdrop = jnp.zeros((B,), jnp.int32)
     if score_dtype == "int16":
         DT, NEG = np.int16, np.int16(NEG_INF16)
-        G = instance_tile or 16      # int16 native sublane tile is 16
+        G = instance_tile or _pick_tile(B, M, W, itemsize=2)
     else:
         DT, NEG = np.int32, np.int32(NEG_INF)
         G = instance_tile or _pick_tile(B, M, W)
@@ -340,7 +363,7 @@ def banded_sw_pallas(q, t_win, m_len, n_len, lo, zdrop=None, *, match,
             pltpu.VMEM((G, W), DT),
             pltpu.VMEM((G, W), DT),
             pltpu.VMEM((G, W), DT),
-            pltpu.VMEM((G, W), jnp.int32),       # per-lane best score
+            pltpu.VMEM((G, W), DT),              # per-lane best score
             pltpu.VMEM((G, W), jnp.int32),       # per-lane best row
             pltpu.VMEM((G, W), jnp.int32),       # alive (zdrop) flag
         ],
