@@ -335,6 +335,127 @@ def gather_windows(flat_reads, ref_codes, q_base, q_step, q_comp, t_base,
     return q, t_win
 
 
+def global_lo(m, n, W):
+    """Band low offset for global instances — EVEN, so gap fills can
+    route to the antidiagonal kernel (banded_sw_adiag: lane parity must
+    be uniform across a tile). All engines share this formula; bucket
+    fit guarantees need <= W - 16, so the extra row of band slack
+    always exists. Works on scalars and numpy arrays."""
+    need = np.abs(n - m) + 1
+    lo = np.minimum(0, n - m) - (W - need) // 2
+    return lo - (lo & 1)
+
+
+# ------------------------------------------------- antidiagonal engine
+
+def _dp_tb_adiag_core(q, t_win, m_len, n_len, lo, *, M, match, mismatch,
+                      gapo, gape, interpret=False):
+    """Global-only fused chain on the antidiagonal kernel: DP ->
+    H[m][n] -> sweep-walk traceback -> compact wire. Produces the SAME
+    (B, M/32 + E/2 + 3) wire as _dp_tb_core except D events are in
+    row-DESCENDING slot order (collect_group_pallas(topdown=True)
+    reverses them host-side before the shared native decode)."""
+    from lamsa_tpu.ops.banded_sw_adiag import banded_sw_adiag, \
+        traceback_adiag
+
+    res = banded_sw_adiag(q, t_win, m_len, n_len, lo, match=match,
+                          mismatch=mismatch, gapo=gapo, gape=gape,
+                          interpret=interpret)
+    g, _, _ = extract_scores(res["h_last"], m_len, n_len, lo)
+    si = jnp.asarray(m_len, jnp.int32)
+    sd = (n_len - m_len - lo).astype(jnp.int32)
+    opb, ev, term0, n_ev = traceback_adiag(res["dirs32a"], si, sd,
+                                           jnp.asarray(lo) >> 1, M=M,
+                                           interpret=interpret)
+    tail = jnp.concatenate(
+        [(term0[:, None] | (n_ev[:, None] << 16)),
+         (si[:, None] | (sd[:, None] << 16)), g[:, None]], axis=1)
+    return jnp.concatenate([opb, ev, tail], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("M", "W", "match",
+                                             "mismatch", "gapo", "gape"))
+def _dp_tb_adiag_gather(flat_reads, ref_codes, desc, *, M, W, match,
+                        mismatch, gapo, gape):
+    (q_base, q_step, q_comp, t_base, t_step, m_len, n_len, lo,
+     _is_global, _bonus) = unpack_desc(desc)
+    q, t_win = gather_windows(flat_reads, ref_codes, q_base, q_step,
+                              q_comp, t_base, t_step, m_len, n_len, lo,
+                              M=M, W=W)
+    return _dp_tb_adiag_core(q, t_win, m_len, n_len, lo, M=M,
+                             match=match, mismatch=mismatch, gapo=gapo,
+                             gape=gape)
+
+
+@functools.partial(jax.jit, static_argnames=("M", "match", "mismatch",
+                                             "gapo", "gape"))
+def _dp_tb_adiag_upload(q, t_win, m_len, n_len, lo, *, M, match,
+                        mismatch, gapo, gape):
+    return _dp_tb_adiag_core(q.astype(jnp.int32), t_win.astype(jnp.int32),
+                             m_len, n_len, lo, M=M, match=match,
+                             mismatch=mismatch, gapo=gapo, gape=gape)
+
+
+def dispatch_group_adiag_gather(desc, flat_dev, ref_dev, scores, M, W,
+                                mesh=None):
+    """Async launch of the antidiagonal global-gap chain (descriptor
+    wire). Same contract as dispatch_group_pallas_gather but every
+    instance must be global with an even lo (extend.global_lo)."""
+    if mesh is not None:
+        fn = _sharded_adiag_fn(mesh, M, W, scores.match, scores.mismatch,
+                               scores.gap_open, scores.gap_ext)
+        return fn(flat_dev, ref_dev, desc)
+    return _dp_tb_adiag_gather(flat_dev, ref_dev, desc, M=M, W=W,
+                               match=scores.match, mismatch=scores.mismatch,
+                               gapo=scores.gap_open, gape=scores.gap_ext)
+
+
+def dispatch_group_adiag(q, t_win, m_len, n_len, lo, scores, M,
+                         mesh=None):
+    if mesh is not None:
+        fn = _sharded_adiag_upload_fn(mesh, M, scores.match,
+                                      scores.mismatch, scores.gap_open,
+                                      scores.gap_ext)
+        return fn(q, t_win, m_len, n_len, lo)
+    return _dp_tb_adiag_upload(q, t_win, m_len, n_len, lo, M=M,
+                               match=scores.match,
+                               mismatch=scores.mismatch,
+                               gapo=scores.gap_open, gape=scores.gap_ext)
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_adiag_fn(mesh, M, W, match, mismatch, gapo, gape):
+    from jax.sharding import PartitionSpec as P
+
+    from lamsa_tpu.parallel.mesh import DATA_AXIS
+
+    def body(flat, refc, desc):
+        return _dp_tb_adiag_gather(flat, refc, desc, M=M, W=W,
+                                   match=match, mismatch=mismatch,
+                                   gapo=gapo, gape=gape)
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh, check_vma=False,
+        in_specs=(P(), P(), P(DATA_AXIS, None)),
+        out_specs=P(DATA_AXIS, None)))
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_adiag_upload_fn(mesh, M, match, mismatch, gapo, gape):
+    from jax.sharding import PartitionSpec as P
+
+    from lamsa_tpu.parallel.mesh import DATA_AXIS
+    S = P(DATA_AXIS)
+
+    def body(*args):
+        return _dp_tb_adiag_upload(*args, M=M, match=match,
+                                   mismatch=mismatch, gapo=gapo,
+                                   gape=gape)
+
+    return jax.jit(jax.shard_map(body, mesh=mesh, check_vma=False,
+                                 in_specs=(S,) * 5, out_specs=S))
+
+
 def dispatch_group_pallas(q, t_win, m_len, n_len, lo, is_global, bonus,
                           scores, mesh=None):
     """Async launch of the fused DP+decide+traceback chain; returns the
@@ -405,14 +526,21 @@ def _sharded_upload_fn(mesh, match, mismatch, gapo, gape, zdrop):
                                  in_specs=(S,) * 7, out_specs=S))
 
 
-def collect_group_pallas(packed_dev, M):
+def collect_group_pallas(packed_dev, M, topdown=False):
     """Sync one group's packed compact result; returns (cigars, scores,
     si, sd arrays). cigars[b] is None when the instance's event list
-    overflowed on device — the batcher recomputes those host-side."""
+    overflowed on device — the batcher recomputes those host-side.
+
+    topdown: the adiag walker emits D events row-DESCENDING from slot
+    0 (it walks the alignment backwards and cannot know n_ev up
+    front); reverse each instance's first n_ev slots here so the
+    shared native decoder (row-ascending, pointer from n_ev-1) applies
+    unchanged."""
     from lamsa_tpu import native
 
     nw = M // 32
     Ew = compact_words(M)
+    wide = compact_wide(M)
     packed = np.asarray(packed_dev)
     opbits = packed[:, :nw]
     events = packed[:, nw:nw + Ew]
@@ -422,6 +550,16 @@ def collect_group_pallas(packed_dev, M):
     si = tail[:, 1] & 0xFFFF
     sd = tail[:, 1] >> 16
     score = tail[:, 2]
+    if topdown:
+        ev_items = np.ascontiguousarray(events, np.int32)
+        if not wide:
+            ev_items = ev_items.view(np.uint16)
+        E = ev_items.shape[1]
+        idx = np.arange(E)[None, :]
+        nv = n_ev[:, None]
+        perm = np.where(idx < nv, np.clip(nv - 1 - idx, 0, E - 1), idx)
+        ev_items = np.take_along_axis(ev_items, perm, axis=1)
+        events = ev_items.view(np.int32) if not wide else ev_items
     cigars = native.decode_compact_batch(opbits, events, term0, si, n_ev,
-                                         wide=compact_wide(M))
+                                         wide=wide)
     return cigars, score, si, sd

@@ -67,6 +67,18 @@ CHUNK_BY_M = {(128, 128): 4096, (256, 128): 4096, (256, 256): 2048,
 # must stay below min(W)//2 - 8 so the band reaches the last DP row.
 EXT_MARGIN = 48
 
+# Route global gap fills in W=256 buckets to the antidiagonal kernel
+# (ops/banded_sw_adiag.py — no prefix-max scan, ~4x the row kernel's
+# cells/s). W=128 buckets stay on the row kernel until the
+# two-instances-per-vreg-row lane packing lands (V = W/2 = 64 would
+# waste half of every 128-lane vreg). Tests flip this off to pin the
+# row engine.
+ADIAG_ENABLED = True
+
+
+def _adiag_bucket(W: int) -> bool:
+    return ADIAG_ENABLED and W == 256
+
 
 _EMPTY_CIGAR = np.empty(0, np.uint32)
 
@@ -310,13 +322,30 @@ class DpBatcher:
                 if len(sel) == 0:
                     continue
                 sel = sel[np.argsort(-m[sel], kind="stable")]
+                use_dev = pallas and self.device_sources is not None
+                # antidiagonal engine takes the global instances of
+                # W=256 buckets as separate all-global chunks (it has
+                # no zdrop/best machinery); extends stay on the row
+                # kernel. W=256 buckets are nearly all-global in
+                # production (short extends fit the W=128 buckets).
+                if use_dev and _adiag_bucket(W):
+                    gsel = glob[sel].astype(bool)   # int64 0/1 via the
+                    parts = [(sel[gsel], True),     # scalar-add merge
+                             (sel[~gsel], False)]
+                else:
+                    parts = [(sel, False)]
                 chunk = CHUNK_BY_M[(M, W)]
-                for c0 in range(0, len(sel), chunk):
-                    sl = {k: v[sel[c0:c0 + chunk]] for k, v in c.items()}
-                    if pallas and self.device_sources is not None:
-                        launches.append(self._dispatch_cols(sl, M, W))
-                    else:
-                        self._run_cols_host(sl, M, W)
+                for psel, adiag in parts:
+                    for c0 in range(0, len(psel), chunk):
+                        sl = {k: v[psel[c0:c0 + chunk]]
+                              for k, v in c.items()}
+                        if len(sl["m"]) == 0:
+                            continue
+                        if use_dev:
+                            launches.append(
+                                self._dispatch_cols(sl, M, W, adiag))
+                        else:
+                            self._run_cols_host(sl, M, W)
 
         # ---- explicit (content) instances: per-instance path
         groups: dict[tuple, list] = {}
@@ -342,20 +371,29 @@ class DpBatcher:
         # overlapping device work with host<->device round trips.
         for (M, W), insts in sorted(groups.items()):
             insts.sort(key=lambda it: -len(it["q"]))
+            if pallas and _adiag_bucket(W):
+                parts = [([i for i in insts if i["kind"] == "global"],
+                          True),
+                         ([i for i in insts if i["kind"] != "global"],
+                          False)]
+            else:
+                parts = [(insts, False)]
             chunk = CHUNK_BY_M[(M, W)]
-            for c0 in range(0, len(insts), chunk):
-                part = insts[c0:c0 + chunk]
-                if pallas:
-                    launches.append(self._dispatch_pallas(part, M, W))
-                else:
-                    self._run_group_host(part, M, W)
-        for _, _, _, dev in launches:      # overlap all D2H transfers
+            for pinsts, adiag in parts:
+                for c0 in range(0, len(pinsts), chunk):
+                    part = pinsts[c0:c0 + chunk]
+                    if pallas:
+                        launches.append(
+                            self._dispatch_pallas(part, M, W, adiag))
+                    else:
+                        self._run_group_host(part, M, W)
+        for *_rest, dev, _td in launches:  # overlap all D2H transfers
             try:
                 dev.copy_to_host_async()
             except AttributeError:
                 pass
-        for insts, M, W, dev in launches:
-            self._collect_pallas(insts, M, W, dev)
+        for insts, M, W, dev, topdown in launches:
+            self._collect_pallas(insts, M, W, dev, topdown)
 
     def _build_arrays(self, insts, M, W, Bp):
         # uint8 halves nothing on device (kernels cast to int32 there)
@@ -367,13 +405,13 @@ class DpBatcher:
         lo = np.zeros(Bp, np.int32)
         is_global = np.zeros(Bp, bool)
         bonus = np.zeros(Bp, np.int32)
+        from lamsa_tpu.ops.banded_sw import global_lo
         for b, inst in enumerate(insts):
             qq, tt = inst["q"], inst["t"]
             m, n = len(qq), len(tt)
             m_len[b], n_len[b] = m, n
             if inst["kind"] == "global":
-                need = abs(n - m) + 1
-                lo[b] = min(0, n - m) - (W - need) // 2
+                lo[b] = global_lo(m, n, W)
                 is_global[b] = True
             else:
                 # extend callers cap n <= m + EXT_MARGIN < W//2, so the
@@ -386,8 +424,10 @@ class DpBatcher:
 
     # ------------------------------------------------------- pallas engine
 
-    def _dispatch_pallas(self, insts, M, W):
-        from lamsa_tpu.ops.banded_sw import (dispatch_group_pallas,
+    def _dispatch_pallas(self, insts, M, W, adiag=False):
+        from lamsa_tpu.ops.banded_sw import (dispatch_group_adiag,
+                                             dispatch_group_adiag_gather,
+                                             dispatch_group_pallas,
                                              dispatch_group_pallas_gather)
         from lamsa_tpu.utils.timers import GLOBAL as STATS
         Bp = CHUNK_BY_M[(M, W)]   # one static shape per bucket
@@ -406,17 +446,28 @@ class DpBatcher:
                 if self.mesh is not None:
                     (desc,) = self._shard(desc)
                 flat_dev, ref_dev = self.device_sources
-                dev = dispatch_group_pallas_gather(desc, flat_dev,
-                                                   ref_dev, self.scores,
-                                                   M, W, mesh=self.mesh)
+                if adiag:
+                    dev = dispatch_group_adiag_gather(
+                        desc, flat_dev, ref_dev, self.scores, M, W,
+                        mesh=self.mesh)
+                else:
+                    dev = dispatch_group_pallas_gather(
+                        desc, flat_dev, ref_dev, self.scores, M, W,
+                        mesh=self.mesh)
             else:
                 arrays = self._shard(*arrays) if self.mesh is not None \
                     else arrays
                 q, t_win, m_len, n_len, lo, is_global, bonus = arrays
-                dev = dispatch_group_pallas(q, t_win, m_len, n_len, lo,
-                                            is_global, bonus, self.scores,
-                                            mesh=self.mesh)
-        return insts, M, W, dev
+                if adiag:
+                    dev = dispatch_group_adiag(q, t_win, m_len, n_len,
+                                               lo, self.scores, M,
+                                               mesh=self.mesh)
+                else:
+                    dev = dispatch_group_pallas(q, t_win, m_len, n_len,
+                                                lo, is_global, bonus,
+                                                self.scores,
+                                                mesh=self.mesh)
+        return insts, M, W, dev, adiag
 
     def _build_desc(self, insts, M, W, Bp):
         """Packed (Bp, 4) descriptor array for the device-gather
@@ -435,8 +486,8 @@ class DpBatcher:
             cols["tb"][b], cols["ts"][b] = tb, ts
             cols["m"][b], cols["n"][b] = m, n
             if inst["kind"] == "global":
-                need = abs(n - m) + 1
-                cols["lo"][b] = min(0, n - m) - (W - need) // 2
+                from lamsa_tpu.ops.banded_sw import global_lo
+                cols["lo"][b] = global_lo(m, n, W)
                 glob[b] = True
             else:
                 cols["lo"][b] = -(W // 2)
@@ -450,15 +501,15 @@ class DpBatcher:
 
     @staticmethod
     def _cols_lo(sl, W):
-        m, n = sl["m"], sl["n"]
-        need = np.abs(n - m) + 1
-        return np.where(sl["glob"], np.minimum(0, n - m) - (W - need) // 2,
+        from lamsa_tpu.ops.banded_sw import global_lo
+        return np.where(sl["glob"], global_lo(sl["m"], sl["n"], W),
                         -(W // 2)).astype(np.int64)
 
-    def _dispatch_cols(self, sl, M, W):
+    def _dispatch_cols(self, sl, M, W, adiag=False):
         """Columnar twin of _dispatch_pallas: descriptor slices pack
         straight into the (Bp, 4) wire array (no per-instance dicts)."""
         from lamsa_tpu.ops.banded_sw import (_LO_BIAS,
+                                             dispatch_group_adiag_gather,
                                              dispatch_group_pallas_gather,
                                              pack_desc)
         from lamsa_tpu.utils.timers import GLOBAL as STATS
@@ -478,10 +529,11 @@ class DpBatcher:
             if self.mesh is not None:
                 (desc,) = self._shard(desc)
             flat_dev, ref_dev = self.device_sources
-            dev = dispatch_group_pallas_gather(desc, flat_dev, ref_dev,
-                                               self.scores, M, W,
-                                               mesh=self.mesh)
-        return sl, M, W, dev
+            fn = dispatch_group_adiag_gather if adiag \
+                else dispatch_group_pallas_gather
+            dev = fn(desc, flat_dev, ref_dev, self.scores, M, W,
+                     mesh=self.mesh)
+        return sl, M, W, dev, adiag
 
     def _run_cols_host(self, sl, M, W):
         """Columnar instances on the host (XLA) engine: materialize
@@ -496,12 +548,12 @@ class DpBatcher:
                           "qd": None, "td": None})
         self._run_group_host(insts, M, W)
 
-    def _collect_pallas(self, insts, M, W, dev):
+    def _collect_pallas(self, insts, M, W, dev, topdown=False):
         from lamsa_tpu import native
         from lamsa_tpu.ops.banded_sw import collect_group_pallas
         from lamsa_tpu.utils.timers import GLOBAL as STATS
         with STATS.stage(f"dp_collect_{M}x{W}"):
-            cigars, score, si, sd = collect_group_pallas(dev, M)
+            cigars, score, si, sd = collect_group_pallas(dev, M, topdown)
         if isinstance(insts, dict):            # columnar launch
             sl = insts
             idxs, los = sl["idx"], sl["lo"]
@@ -517,10 +569,11 @@ class DpBatcher:
                 self._results[int(idxs[b])] = DpResult(int(score[b]),
                                                        cig, i, j)
             return
+        from lamsa_tpu.ops.banded_sw import global_lo
         for b, inst in enumerate(insts):
             m, n = len(inst["q"]), len(inst["t"])
             if inst["kind"] == "global":
-                lo_b = min(0, n - m) - (W - (abs(n - m) + 1)) // 2
+                lo_b = int(global_lo(m, n, W))
             else:
                 lo_b = -(W // 2)
             i = int(si[b])
