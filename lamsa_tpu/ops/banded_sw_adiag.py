@@ -428,7 +428,7 @@ def unpack_dirs_adiag(dirs32a: np.ndarray, m_len, n_len, lo,
 
 def _tb_kernel(dirs_ref, si_ref, sd_ref, hl_ref,
                op_ref, ev_ref, tail_ref,
-               flag_scr, op_scr, ev_scr, wreg_scr, *,
+               st_scr, op_scr, ev_scr, wreg_scr, *,
                G, V, NW, EW, RB, n_blocks, wide, e_slots):
     """Compact-traceback walk over antidiag-layout dirs.
 
@@ -438,68 +438,73 @@ def _tb_kernel(dirs_ref, si_ref, sd_ref, hl_ref,
     exactly one M or I plus an optional D run, emitted straight into
     the compact wire fields (ops/banded_sw.py format) — the op bitmap
     (bit = I), D events written row-DESCENDING from slot 0 ("topdown"
-    order, decoded by native.decode_compact_batch(desc_events=True)),
-    term0 = j at row 0, and the event count (0xFFFF = overflow ->
-    host recompute).
+    order, reversed host-side in collect_group_pallas), term0 = j at
+    row 0, and the event count (0xFFFF = overflow -> host recompute).
 
-    flags (G, 8) columns: 0=i, 1=lane, 2=mode(0 H/1 E/2 F), 3=pending
-    D count, 4=event count, 5=overflow, 6=term0, 7=cursor a (0 once
-    finished — group skip checks max over col 7)."""
+    LAYOUT: all per-instance walk state lives LANE-MAJOR — st_scr is
+    (8, G) with one field per sublane row ([0]=i, [1]=lane, [2]=mode
+    0 H/1 E/2 F, [3]=pending D count, [4]=event count, [5]=overflow,
+    [6]=term0, [7]=cursor a, 0 once finished), and the wire
+    accumulators are (NW, G)/(EW, G). A (1, G) field op touches ONE
+    vreg; the same op on a (G, 1) column pads lanes and touches 16 —
+    the first version of this walker spent ~6x the DP kernel's time on
+    exactly that. The only G-major crossings per sweep are two
+    (G,1)<->(1,G) transposes around the nibble lane-select."""
     rb = pl.program_id(1)
     lanes = jax.lax.broadcasted_iota(jnp.int32, (G, V), 1)
-    col = jax.lax.broadcasted_iota(jnp.int32, (G, 8), 1)
-    nwl = jax.lax.broadcasted_iota(jnp.int32, (G, NW), 1)
-    ewl = jax.lax.broadcasted_iota(jnp.int32, (G, EW), 1)
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, G), 0)
+    subnw = jax.lax.broadcasted_iota(jnp.int32, (NW, G), 0)
+    subew = jax.lax.broadcasted_iota(jnp.int32, (EW, G), 0)
     CMAX = 8191 if wide else 30
     RSH = 13 if wide else 5
 
     @pl.when(rb == 0)
     def _init():
-        si = si_ref[:, 0][:, None]
-        sd = sd_ref[:, 0][:, None]
-        hl = hl_ref[:, 0][:, None]
+        si = jnp.transpose(si_ref[:], (1, 0))          # (1, G)
+        sd = jnp.transpose(sd_ref[:], (1, 0))
+        hl = jnp.transpose(hl_ref[:], (1, 0))
         sj = si + 2 * hl + sd
         sa = si + sj
         l0 = (sd - (sa & 1)) >> 1
-        flag_scr[:] = jnp.where(
-            col == 0, si,
-            jnp.where(col == 1, l0,
-                      jnp.where(col == 6, jnp.where(si == 0, sj, 0),
-                                jnp.where(col == 7,
-                                          jnp.where(si == 0, 0, sa), 0))))
-        op_scr[:] = jnp.zeros((G, NW), jnp.int32)
-        ev_scr[:] = jnp.zeros((G, EW), jnp.int32)
+        st_scr[:] = jnp.where(
+            sub8 == 0, si,
+            jnp.where(sub8 == 1, l0,
+                      jnp.where(sub8 == 6, jnp.where(si == 0, sj, 0),
+                                jnp.where(sub8 == 7,
+                                          jnp.where(si == 0, 0, sa),
+                                          0))))
+        op_scr[:] = jnp.zeros((NW, G), jnp.int32)
+        ev_scr[:] = jnp.zeros((EW, G), jnp.int32)
 
     ab0 = (n_blocks - 1 - rb) * RB        # steps ab0+1 .. ab0+RB
 
     def group_body(gg, _):
         g = RB // _STEPS_PER_GROUP - 1 - gg
 
-        @pl.when(jnp.max(flag_scr[:, 7:8]) >= ab0 + g * 32 + 1)
+        @pl.when(jnp.max(st_scr[7:8, :]) >= ab0 + g * 32 + 1)
         def _run():
             off = pl.multiple_of(g * 8, 8)
             wreg_scr[:] = dirs_ref[:, pl.ds(off, 8), :]
             for k in range(_STEPS_PER_GROUP - 1, -1, -1):
-                # flags round-trip scratch EVERY step: carrying ~15
-                # live lane-padded (G, 1) columns across 32 unrolled
-                # steps overflows Mosaic's 16 MB scoped-VMEM stack
-                # (same discipline as the row walker's flag commits)
-                fl = flag_scr[:]
-                i = fl[:, 0:1]
-                l = fl[:, 1:2]
-                mode = fl[:, 2:3]
-                pend = fl[:, 3:4]
-                evc = fl[:, 4:5]
-                ovf = fl[:, 5:6]
-                term0 = fl[:, 6:7]
-                acur = fl[:, 7:8]
                 a = ab0 + g * 32 + k + 1
                 par = (1 + k) & 1             # a & 1, static
+                stf = st_scr[:]
+                i = stf[0:1, :]
+                l = stf[1:2, :]
+                mode = stf[2:3, :]
+                pend = stf[3:4, :]
+                evc = stf[4:5, :]
+                ovf = stf[5:6, :]
+                term0 = stf[6:7, :]
+                acur = stf[7:8, :]
                 active = (acur == a) & (i >= 1)
+                # --- nibble at (word k//4, byte k%4, lane l): the two
+                # transposes are the only G-major ops in the sweep
                 word = wreg_scr[:, k // 4, :]
-                sel = jnp.sum(jnp.where(lanes == l, word, 0), axis=1,
+                lT = jnp.transpose(l, (1, 0))          # (G, 1)
+                sel = jnp.sum(jnp.where(lanes == lT, word, 0), axis=1,
                               keepdims=True)
-                nib = (sel >> (8 * (k % 4))) & 0xF
+                nib = (jnp.transpose(sel, (1, 0)) >> (8 * (k % 4))) & 0xF
                 src = nib & 3
                 eext = (nib >> 2) & 1
                 fext = (nib >> 3) & 1
@@ -507,23 +512,21 @@ def _tb_kernel(dirs_ref, si_ref, sd_ref, hl_ref,
                 isF = active & ((mode == 2) | ((mode == 0) & (src == 2)))
                 isM = active & (mode == 0) & (src == 0)
                 commit = isM | isF
-                # --- emissions for the completing row r = i. The
-                # accumulators live in scratch and are RMW'd per step:
-                # carrying them as unrolled python values allocates a
-                # fresh lane-padded (G, NW)/(G, EW) stack temp per step
-                # and blows Mosaic's 16 MB scoped-VMEM stack.
+                # --- emissions for the completing row r = i (RMW
+                # through scratch; unrolled value-carried accumulators
+                # blow Mosaic's scoped-VMEM stack)
                 ebm = commit & (pend > 0)
                 widx = (i - 1) >> 5
                 op_scr[:] = op_scr[:] | jnp.where(
-                    (nwl == widx) & isF, 1 << ((i - 1) & 31), 0)
+                    (subnw == widx) & isF, 1 << ((i - 1) & 31), 0)
                 cnt = jnp.minimum(pend, CMAX)
                 val = ((i - 1) << RSH) | cnt
                 if wide:
                     ev_scr[:] = ev_scr[:] | jnp.where(
-                        (ewl == evc) & ebm, val, 0)
+                        (subew == evc) & ebm, val, 0)
                 else:
                     ev_scr[:] = ev_scr[:] | jnp.where(
-                        (ewl == (evc >> 1)) & ebm,
+                        (subew == (evc >> 1)) & ebm,
                         val << (16 * (evc & 1)), 0)
                 ovf = ovf | (ebm & ((pend > CMAX) | (evc >= e_slots)))
                 evc = evc + ebm
@@ -543,26 +546,28 @@ def _tb_kernel(dirs_ref, si_ref, sd_ref, hl_ref,
                 fin = commit & (i2 == 0)
                 term0 = jnp.where(fin, a2, term0)
                 acur = jnp.where(fin, 0, jnp.where(active, a2, acur))
-                flag_scr[:] = jnp.where(
-                    col == 0, i2,
-                    jnp.where(col == 1, l2,
-                              jnp.where(col == 2, mode,
-                                        jnp.where(col == 3, pend,
-                                                  jnp.where(col == 4, evc,
-                                                            jnp.where(col == 5, ovf,
-                                                                      jnp.where(col == 6, term0, acur)))))))
+                st_scr[:] = jnp.where(
+                    sub8 == 0, i2,
+                    jnp.where(sub8 == 1, l2,
+                              jnp.where(sub8 == 2, mode,
+                                        jnp.where(sub8 == 3, pend,
+                                                  jnp.where(sub8 == 4, evc,
+                                                            jnp.where(sub8 == 5, ovf,
+                                                                      jnp.where(sub8 == 6, term0, acur)))))))
         return 0
 
     jax.lax.fori_loop(0, RB // _STEPS_PER_GROUP, group_body, 0)
 
     @pl.when(rb == n_blocks - 1)
     def _fin():
-        op_ref[:] = op_scr[:]
-        ev_ref[:] = ev_scr[:]
-        fl = flag_scr[:]
-        n_ev = jnp.where(fl[:, 5:6] > 0, 0xFFFF, fl[:, 4:5])
-        tail_ref[:] = jnp.where(col == 0, fl[:, 6:7],
-                                jnp.where(col == 1, n_ev, 0))
+        op_ref[:] = jnp.transpose(op_scr[:], (1, 0))
+        ev_ref[:] = jnp.transpose(ev_scr[:], (1, 0))
+        stf = st_scr[:]
+        n_ev = jnp.where(stf[5:6, :] > 0, 0xFFFF, stf[4:5, :])
+        tcol = jax.lax.broadcasted_iota(jnp.int32, (8, G), 0)
+        tail = jnp.where(tcol == 0, stf[6:7, :],
+                         jnp.where(tcol == 1, n_ev, 0))
+        tail_ref[:] = jnp.transpose(tail, (1, 0))
 
 
 @functools.partial(jax.jit, static_argnames=("M", "instance_tile",
@@ -613,9 +618,9 @@ def traceback_adiag(dirs32a, si, sd, hl, *, M, instance_tile=None,
             jax.ShapeDtypeStruct((B, 8), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((G, 8), jnp.int32),
-            pltpu.VMEM((G, NW), jnp.int32),
-            pltpu.VMEM((G, EW), jnp.int32),
+            pltpu.VMEM((8, G), jnp.int32),       # lane-major walk state
+            pltpu.VMEM((NW, G), jnp.int32),      # opbit acc (transposed)
+            pltpu.VMEM((EW, G), jnp.int32),      # event acc (transposed)
             pltpu.VMEM((G, 8, V), jnp.int32),
         ],
         interpret=interpret,
