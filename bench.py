@@ -103,14 +103,19 @@ def _measure_calls(fn, cells, name):
         return time.time() - t0
 
     run_n(1)                       # compile
-    est = run_n(8) / 8
-    lo_n = max(4, int(0.05 / max(est, 1e-5)))
-    hi_n = 4 * lo_n
-    samples = []
-    for _ in range(5):
-        t_lo, t_hi = run_n(lo_n), run_n(hi_n)
-        samples.append((t_hi - t_lo) / (hi_n - lo_n))
-    dev = max(min(samples), 1e-9)
+    est = run_n(8) / 8             # RTT-polluted first guess
+    lo_n, hi_n = 4, 16
+    for _ in range(4):             # grow reps until the paired window
+        lo_n = max(4, int(0.08 / max(est, 1e-5)))       # covers >=
+        hi_n = min(4 * lo_n, 1024)                      # ~250 ms of
+        samples = []                                    # device time
+        for _ in range(5):
+            t_lo, t_hi = run_n(lo_n), run_n(hi_n)
+            samples.append((t_hi - t_lo) / (hi_n - lo_n))
+        est = max(min(samples), 1e-9)
+        if est * (hi_n - lo_n) >= 0.25 or hi_n >= 1024:
+            break
+    dev = est
     g = cells / dev / 1e9
     log(f"{name}: {dev*1e3:.2f} ms/call -> {g:.2f} Gcells/s "
         f"(device time; reps {lo_n}/{hi_n}; samples ms/call: "

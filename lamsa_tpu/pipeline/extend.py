@@ -67,7 +67,7 @@ def _bucket_fits(kind: str, m: int, n: int, M: int, W: int) -> bool:
 # of signatures (remote compiles cost ~a minute per signature here).
 # Padding is nearly free: all-padding instance tiles have max m = 0 and
 # the kernels skip every row group. Sizes bound dirs32 HBM to ~256 MB.
-CHUNK_BY_M = {(128, 128): 4096, (128, 256): 2048, (256, 128): 4096,
+CHUNK_BY_M = {(128, 128): 4096, (128, 256): 4096, (256, 128): 4096,
               (256, 256): 2048, (512, 128): 2048, (512, 256): 1024,
               (1024, 256): 512, (2048, 256): 256, (5120, 256): 128}
 
