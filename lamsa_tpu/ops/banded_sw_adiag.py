@@ -118,7 +118,7 @@ def _kernel(qre_ref, twf_ref, m_ref, n_ref, hl_ref,
     # lo-absorbed); twf[y] = t[y + hl].  Window bases:
     #   q: AU - u + 1 (decreasing), t: u + par - 1 (increasing)
     u_lo = (ablk0 + 1) >> 1               # u at first step of block
-    SPAN = V + 256
+    SPAN = _span(V)
     qb_blk = AU - (u_lo + 64) + 1         # lowest q base in block
     qoff = pl.multiple_of(
         jnp.maximum(((qb_blk - 1) >> 7) << 7, 0), 128)
@@ -264,12 +264,19 @@ def _pick_tile(B: int, M: int, W: int) -> int:
     return 8
 
 
+def _span(V: int) -> int:
+    """In-kernel q/t slice width: V + 256 rounded up to a 128
+    multiple — Mosaic rejects dynamic rotates on non-128-multiple lane
+    widths (the V=64 crash)."""
+    return -(-(V + 256) // 128) * 128
+
+
 def adiag_windows(M: int, W: int):
     """(AU, QL) static geometry for an (M, W) bucket's pre-gathered
     window arrays: qre[y] = q[AU - y - hl] (reversed, lo-absorbed,
     sentinel 4), twf[y] = t[y + hl] (sentinel 5, ref N 4 -> 6)."""
     A = a_pad(M, W)
-    return A // 2, A // 2 + W // 2 + 256
+    return A // 2, A // 2 + _span(W // 2)
 
 
 @functools.partial(jax.jit, static_argnames=(
