@@ -167,3 +167,30 @@ def test_adiag_fused_wire_and_collect(rng):
         if got is None:                     # device event overflow
             continue
         np.testing.assert_array_equal(got, want, err_msg=f"inst {b}")
+
+
+def test_adiag_walker_wide_events(rng):
+    """M > 2048 buckets use wide 32-bit walker events ((row << 13) |
+    cnt); exercised here so the 5120 bucket can ungate from the row
+    engine (extend._adiag_bucket) once its TPU compile is validated."""
+    M, W, B = 2176, 256, 8
+    q, t_win, m_len, n_len, lo = make_globals(rng, B, M, W)
+    ref = banded_sw_batch(q, t_win, m_len, n_len, lo, **KW)
+    got = banded_sw_adiag(q, t_win, m_len, n_len, lo, interpret=True,
+                          **KW)
+    sd = (n_len - m_len - lo).astype(np.int32)
+    opb, ev, term0, n_ev = traceback_adiag(
+        np.asarray(got["dirs32a"]), m_len.astype(np.int32), sd,
+        (lo >> 1).astype(np.int32), M=M, interpret=True)
+    opb, ev = np.asarray(opb), np.asarray(ev)
+    term0, n_ev = np.asarray(term0), np.asarray(n_ev)
+    rd = np.asarray(ref["dirs"])
+    assert compact_wide(M)
+    for b in range(B):
+        m, n, lob = int(m_len[b]), int(n_len[b]), int(lo[b])
+        if int(n_ev[b]) == 0xFFFF:
+            continue
+        want = traceback_banded(rd[b], lob, m, n)
+        gotc = decode_topdown(opb[b], ev[b], int(term0[b]), m,
+                              int(n_ev[b]), True)
+        assert gotc == want, f"instance {b}"
