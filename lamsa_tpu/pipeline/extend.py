@@ -52,11 +52,8 @@ def _bucket_fits(kind: str, m: int, n: int, M: int, W: int) -> bool:
     if m > M:
         return False
     if kind == "global":
-        # globals use W=256 buckets only (adiag engine width; see
-        # BUCKETS note — identical in every engine for SAM parity)
         need = abs(n - m) + 1
-        return W == 256 and need <= W - 16 \
-            and (W - need) // 2 >= _MIN_SLACK
+        return need <= W - 16 and (W - need) // 2 >= _MIN_SLACK
     # extend: caller caps n <= m + EXT_MARGIN; long extensions
     # accumulate drift, keep them on the wide band
     return (n - m <= W // 2 - 8) and (W == 256 or m <= 256)
@@ -85,10 +82,10 @@ ADIAG_ENABLED = True
 
 
 def _adiag_bucket(M: int, W: int) -> bool:
-    # M <= 2048: the >2048 bucket needs wide 32-bit walker events --
-    # covered by the row engine until the adiag wide path has its own
-    # interpret test
-    return ADIAG_ENABLED and W == 256 and M <= 2048
+    # M <= 2048: the >2048 bucket's wide-event walker path is
+    # interpret-tested but its TPU compile is not yet validated;
+    # covered by the row engine until then
+    return ADIAG_ENABLED and W in (128, 256) and M <= 2048
 
 
 _EMPTY_CIGAR = np.empty(0, np.uint32)
@@ -315,7 +312,7 @@ class DpBatcher:
             need = np.abs(n - m) + 1
             bid = np.full(len(m), -1, np.int64)
             for bi, (M, W) in enumerate(self.buckets):
-                fit_g = (W == 256) & (m <= M) & (need <= W - 16) \
+                fit_g = (m <= M) & (need <= W - 16) \
                     & ((W - need) // 2 >= _MIN_SLACK)
                 fit_e = (m <= M) & (n - m <= W // 2 - 8) \
                     & ((W == 256) | (m <= 256))
