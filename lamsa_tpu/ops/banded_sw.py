@@ -270,37 +270,84 @@ def _dp_tb_fused_gather(flat_reads, ref_codes, desc, *, M, W, match,
                        gape=gape, zdrop=zdrop)
 
 
-# Genomes beyond int32-safe gather indexing (> 2^31 - 1 bases; GRCh38
-# is 3.1e9) are laid out on device as a 2D (chunks, 2^REF_CHUNK_BITS)
-# array: a single flat gather would have XLA truncate the uint32 index
-# to int32 (negative wrap -> silently wrong windows), while the
-# two-level (chunk, offset) gather keeps every index component small.
-REF_CHUNK_BITS = 27
+# Code arrays on device are 4-bit packed into int32 WORDS (code i at
+# word i >> 3, nibble i & 7): window gathers fetch 8 codes per gathered
+# element — generic gathers on this v5e sustain only ~130 M elem/s
+# (descriptor-bound, BASELINE.md round-3 microbench) while the nibble
+# expansion is dense VPU work, so packing cuts the dominant
+# gather_windows cost ~8x. A second structural win: at the 4 Gb uint32
+# genome ceiling the WORD count is 5e8 < 2^31, so word indices are
+# int32-safe at any supported genome size and the old two-level
+# (chunk, offset) ref layout is unnecessary.
+
+
+def pack_codes_words(codes) -> "np.ndarray":
+    """Host-side 4-bit pack of nt codes (0..4) into int32 words, padded
+    with 4 (N). len need not be a multiple of 8."""
+    codes = np.ascontiguousarray(codes, np.uint8)
+    pad = (-len(codes)) % 8
+    if pad:
+        codes = np.concatenate([codes, np.full(pad, 4, np.uint8)])
+    b = codes[0::2] | (codes[1::2] << 4)
+    return b.view(np.int32)
 
 
 def pack_ref_device(codes, rep=None):
-    """Place reference codes on device for gather_windows: flat uint8
-    for int32-safe sizes, two-level 2D layout beyond (see
-    REF_CHUNK_BITS). rep: optional sharding for replication."""
-    import numpy as np
-    n = codes.shape[0]
-    if n <= (1 << 31) - 1:
-        return jax.device_put(np.ascontiguousarray(codes, np.uint8), rep)
-    C = 1 << REF_CHUNK_BITS
-    pad = (-n) % C
-    if pad:
-        codes = np.concatenate([codes, np.full(pad, 4, np.uint8)])
-    return jax.device_put(
-        np.ascontiguousarray(codes, np.uint8).reshape(-1, C), rep)
+    """Place reference codes on device for gather_windows: 4-bit packed
+    int32 words (pack_codes_words). rep: optional sharding for
+    replication. Halves ref HBM + upload vs the old uint8 layout."""
+    return jax.device_put(pack_codes_words(codes), rep)
 
 
-def flat_nibble(flatp, idx):
-    """Gather read codes from the 4-bit-packed flat array (2 codes per
-    byte, little nibble first — pipeline/aln.py packs it): code i lives
-    in byte i >> 1, nibble i & 1. idx is clipped defensively (callers
-    mask out-of-range elements)."""
-    b = flatp[jnp.clip(idx >> 1, 0, flatp.shape[0] - 1)].astype(jnp.int32)
-    return (b >> ((idx & 1) * 4)) & 0xF
+def flat_nibble(flatw, idx):
+    """Gather single codes from a packed int32 word array
+    (pack_codes_words layout): code i lives in word i >> 3, nibble
+    i & 7. idx is clipped defensively (callers mask out-of-range
+    elements). Prefer gather_packed_run for contiguous runs."""
+    w = flatw[jnp.clip(idx >> 3, 0, flatw.shape[0] - 1)]
+    return (w >> ((idx & 7) * 4)) & 0xF
+
+
+def _shift_left_rows(x, v, stages=3):
+    """out[b, y] = x[b, y + v_b] for per-row v_b in [0, 2**stages):
+    log-shift network of dense (roll, select) pairs — no gather.
+    Lanes past the end receive wrapped garbage; callers mask."""
+    vb = v[:, None]
+    for k in range(stages):
+        x = jnp.where((vb & (1 << k)) != 0, jnp.roll(x, -(1 << k), axis=1),
+                      x)
+    return x
+
+
+def gather_packed_run(words, i0, step, X: int):
+    """Extract per-instance contiguous code runs from a packed int32
+    word array: out[b, y] = code at flat index i0[b] + step[b]*y for
+    y in [0, X). i0 is uint32 (mod-2^32 bit pattern — a negative true
+    start wraps; the out-of-range lanes gather clipped garbage and MUST
+    be masked by the caller). step is +-1 int32 per instance.
+
+    ONE (B, ceil((X+7)/8)) word gather + dense nibble expansion + a
+    3-stage log-shift alignment. Word index (i0 +- 8j) >> 3 is computed
+    in uint32: for a wrapped (negative) start the descending/ascending
+    words recover the true index exactly once the true flat index turns
+    >= 0 (8 * 2^29 == 2^32), so partial head words still decode
+    correctly."""
+    B = i0.shape[0]
+    NW = (X + 14) // 8
+    j8 = (8 * jnp.arange(NW, dtype=jnp.int32)).astype(jnp.uint32)[None, :]
+    stepu = step.astype(jnp.uint32)[:, None]
+    widx = (i0[:, None] + stepu * j8) >> 3
+    widx = jnp.minimum(widx, jnp.uint32(words.shape[0] - 1)) \
+        .astype(jnp.int32)
+    w = words[widx]                               # (B, NW) — the gather
+    s = jnp.arange(8, dtype=jnp.int32)[None, None, :]
+    fwd = (step > 0)[:, None, None]
+    sh = jnp.where(fwd, s, 7 - s) * 4             # reverse nibble order
+    nib = (w[:, :, None] >> sh) & 0xF             # for step == -1
+    out = nib.reshape(B, NW * 8)
+    r = (i0 & jnp.uint32(7)).astype(jnp.int32)
+    shift = jnp.where(step > 0, r, 7 - r)
+    return _shift_left_rows(out, shift)[:, :X]
 
 
 def gather_windows(flat_reads, ref_codes, q_base, q_step, q_comp, t_base,
@@ -308,29 +355,22 @@ def gather_windows(flat_reads, ref_codes, q_base, q_step, q_comp, t_base,
     """On-device window assembly (the spec _build_arrays implements
     host-side); must produce exactly the q / t_win arrays the host
     assembly would upload (tests/test_gather_dispatch.py). flat_reads
-    is the 4-bit-packed read-code array (flat_nibble); ref_codes is
-    flat uint8, or the 2D pack_ref_device layout for > 2^31 bases."""
+    and ref_codes are packed int32 word arrays (pack_codes_words /
+    pack_ref_device); both window runs are contiguous, so each is one
+    word gather (gather_packed_run)."""
     xq = jnp.arange(M, dtype=jnp.int32)[None, :]
-    qidx = q_base[:, None] + q_step[:, None] * xq
-    qg = flat_nibble(flat_reads, qidx)
+    qg = gather_packed_run(flat_reads, q_base.astype(jnp.uint32),
+                           q_step, M)
     qg = jnp.where((q_comp[:, None] == 1) & (qg < 4), 3 - qg, qg)
     q = jnp.where(xq < m_len[:, None], qg, 4)
 
     xt = jnp.arange(M + W, dtype=jnp.int32)[None, :]
     y = xt + lo[:, None]
     tvalid = (y >= 0) & (y < n_len[:, None])
-    off = jax.lax.bitcast_convert_type(t_step[:, None] * y, jnp.uint32)
-    tidx = t_base[:, None] + off                 # uint32, wraps harmlessly
-    if ref_codes.ndim == 2:
-        n_total = ref_codes.shape[0] * ref_codes.shape[1]
-        tidx = jnp.minimum(tidx, jnp.uint32(n_total - 1))
-        hi = (tidx >> REF_CHUNK_BITS).astype(jnp.int32)
-        lo_i = (tidx & jnp.uint32((1 << REF_CHUNK_BITS) - 1)) \
-            .astype(jnp.int32)
-        tg = ref_codes[hi, lo_i].astype(jnp.int32)
-    else:
-        tidx = jnp.minimum(tidx, jnp.uint32(ref_codes.shape[0] - 1))
-        tg = ref_codes[tidx].astype(jnp.int32)
+    # start index t_base + t_step*lo in uint32 (wraps when the band
+    # head hangs off the reference start; those lanes are invalid)
+    ti0 = t_base + jax.lax.bitcast_convert_type(t_step * lo, jnp.uint32)
+    tg = gather_packed_run(ref_codes, ti0, t_step, M + W)
     t_win = jnp.where(tvalid, tg, 5)
     return q, t_win
 

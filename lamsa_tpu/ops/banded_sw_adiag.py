@@ -353,9 +353,10 @@ def banded_sw_adiag_pre(qre, twf, m_len, n_len, hl, *, M, W, match,
                         mismatch, gapo, gape, instance_tile=None,
                         interpret=False):
     """Kernel entry on PRE-GATHERED window arrays (adiag_windows
-    layout) — the production descriptor path gathers these straight
-    from the device-resident read/ref code arrays (one flat gather
-    each, ops/banded_sw.py::gather_windows_adiag)."""
+    layout). The production descriptor path builds these via the
+    row-layout packed-word gather (ops/banded_sw.py::gather_windows)
+    followed by make_adiag_windows' dense shift networks — no extra
+    gathers beyond the two word gathers per chunk."""
     B = qre.shape[0]
     assert W % 2 == 0
     V = W // 2

@@ -158,16 +158,19 @@ def _revcomp_codes(codes: np.ndarray) -> np.ndarray:
 @functools.partial(jax.jit, static_argnames=("L",))
 def gather_rc(flatp, offs, lens, *, L):
     """Assemble the (B, L) padded read-code matrix ON DEVICE from the
-    batch's resident 4-bit-packed flat code array (read b =
+    batch's resident packed flat code array (read b =
     codes[offs[b]:offs[b] + lens[b]], padded with 4) — the flat array
     is uploaded once per batch anyway for DP window gathers, so this
     removes the second (B, L) upload entirely (the host->device relay
-    is the scarce link). Bit-identical to the host-assembled matrix by
+    is the scarce link). One word gather per read (8 codes/element,
+    ops/banded_sw.py::gather_packed_run) instead of B*L element
+    gathers. Bit-identical to the host-assembled matrix by
     construction (tests/test_gather_dispatch.py)."""
-    from lamsa_tpu.ops.banded_sw import flat_nibble
+    from lamsa_tpu.ops.banded_sw import gather_packed_run
     i = jnp.arange(L, dtype=jnp.int32)[None, :]
-    idx = offs[:, None] + i
-    g = flat_nibble(flatp, idx).astype(jnp.uint8)
+    step = jnp.ones(offs.shape[0], jnp.int32)
+    g = gather_packed_run(flatp, offs.astype(jnp.uint32), step, L) \
+        .astype(jnp.uint8)
     return jnp.where(i < lens[:, None], g, jnp.uint8(4))
 
 
@@ -241,8 +244,8 @@ class Aligner:
         from lamsa_tpu.ops.banded_sw import backend_kind, pack_ref_device
         self._ref_dev = None
         if backend_kind() == "pallas":
-            # 2D two-level layout beyond int32-safe gather sizes
-            # (GRCh38-scale; see ops/banded_sw.py::pack_ref_device)
+            # packed int32 nibble words — word indices stay int32-safe
+            # to the 4 Gb uint32 ceiling (ops/banded_sw.py layout note)
             self._ref_dev = pack_ref_device(ref.codes, self._rep)
             if self.seed_backend == "kmer" and self.k <= 13:
                 # dense 4^k direct-address tables (2 x 256 MB HBM at
@@ -293,10 +296,11 @@ class Aligner:
             # flat forward read codes, device-resident for the batch;
             # padded to a power of two to keep the jit signature set
             # closed (relay compiles cost ~a minute per signature).
-            # Uploaded 4-bit packed (2 codes/byte — codes are 0..4):
-            # the flat upload is the batch's largest single transfer
-            # and the relay is the scarce link; device gathers unpack
-            # the nibble in-flight (ops/banded_sw.py flat_nibble).
+            # Uploaded 4-bit packed into int32 words (8 codes/word —
+            # codes are 0..4): the flat upload is the batch's largest
+            # single transfer and the relay is the scarce link, and
+            # device gathers fetch whole words (ops/banded_sw.py
+            # gather_packed_run: 8 codes per gathered element).
             total = sum(len(c) for c in codes)
             cap = max(1024, 1 << max(0, (total - 1)).bit_length())
             flat = np.full(cap, 4, np.uint8)
@@ -307,8 +311,9 @@ class Aligner:
                 flat[pos:pos + len(c)] = c
                 pos += len(c)
             flat_offs[-1] = pos
-            flatp = flat[0::2] | (flat[1::2] << 4)
-            device_sources = (jax.device_put(flatp, self._rep),
+            from lamsa_tpu.ops.banded_sw import pack_codes_words
+            device_sources = (jax.device_put(pack_codes_words(flat),
+                                             self._rep),
                               self._ref_dev)
             host_sources = (flat, self.ref.codes)
 

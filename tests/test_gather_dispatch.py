@@ -7,21 +7,16 @@ reversed left-extension / forward right-extension windows."""
 import numpy as np
 import pytest
 
-from lamsa_tpu.ops.banded_sw import gather_windows
+from lamsa_tpu.ops.banded_sw import gather_windows, pack_codes_words
 from lamsa_tpu.ops.banded_sw_xla import make_t_window
 from lamsa_tpu.pipeline.aln import Aligner
+
+_pack4 = pack_codes_words          # the production packed-word layout
 
 
 def _revcomp(c):
     comp = np.where(c < 4, 3 - c, c)
     return comp[::-1].astype(np.uint8)
-
-
-def _pack4(flat):
-    """2-codes-per-byte pack, as pipeline/aln.py uploads flat reads."""
-    if len(flat) % 2:
-        flat = np.concatenate([flat, np.full(1, 4, np.uint8)])
-    return flat[0::2] | (flat[1::2] << 4)
 
 
 def test_gather_windows_matches_host_assembly(rng):
@@ -84,8 +79,8 @@ def test_gather_windows_matches_host_assembly(rng):
         tb[b], ts[b] = td
         ml[b], nl[b], lo_arr[b] = len(q_seg), len(t_seg), lo
 
-    q_dev, t_dev = gather_windows(_pack4(flat), ref, qb, qs, qc, tb, ts, ml, nl,
-                                  lo_arr, M=M, W=W)
+    q_dev, t_dev = gather_windows(_pack4(flat), _pack4(ref), qb, qs, qc,
+                                  tb, ts, ml, nl, lo_arr, M=M, W=W)
     q_dev, t_dev = np.asarray(q_dev), np.asarray(t_dev)
 
     for b, (q_seg, t_seg, qd, td, lo) in enumerate(cases):
@@ -99,36 +94,42 @@ def test_gather_windows_matches_host_assembly(rng):
             f"case {b}: t window differs"
 
 
-def test_two_level_ref_gather_matches_flat(rng, monkeypatch):
-    """gather_windows with the 2D pack_ref_device layout (genomes past
-    int32-safe gather indexing, e.g. GRCh38) == the flat layout."""
-    import lamsa_tpu.ops.banded_sw as bsw
+def test_gather_packed_run_alignments_and_edges(rng):
+    """gather_packed_run over every word-phase alignment, both steps,
+    and the wrap edges the t-window path exercises: a band head hanging
+    off the reference start (negative true index via uint32 wrap) and a
+    run touching the very last word."""
+    from lamsa_tpu.ops.banded_sw import gather_packed_run
 
-    M, W = 128, 128
-    Lref = 5000
-    ref = rng.integers(0, 5, Lref).astype(np.uint8)
-    B = 16
-    qb = np.zeros(B, np.int32)
-    qs = np.ones(B, np.int32)
-    qc = np.zeros(B, np.int32)
-    tb = rng.integers(0, Lref - 300, B).astype(np.uint32)
-    ts = np.where(np.arange(B) % 2 == 0, 1, -1).astype(np.int32)
-    tb = np.where(ts < 0, tb + 250, tb).astype(np.uint32)
-    ml = rng.integers(10, M, B).astype(np.int32)
-    nl = rng.integers(10, 200, B).astype(np.int32)
-    lo = np.full(B, -(W // 2), np.int32)
-    flat = rng.integers(0, 5, 4096).astype(np.uint8)
+    N = 4096
+    flat = rng.integers(0, 5, N).astype(np.uint8)
+    words = _pack4(flat)
+    X = 200
+    cases = []
+    for r in range(8):                       # all 8 start phases
+        cases.append((64 + r, 1))
+        cases.append((256 + r, -1))
+    cases += [(N - X, 1), (N - 1, -1),       # last-word touches
+              (3, -1), (0, 1)]               # head at array start
+    i0 = np.array([c[0] for c in cases], np.uint32)
+    st = np.array([c[1] for c in cases], np.int32)
+    out = np.asarray(gather_packed_run(words, i0, st, X))
+    for b, (s0, sgn) in enumerate(cases):
+        idx = s0 + sgn * np.arange(X)
+        ok = (idx >= 0) & (idx < N)
+        np.testing.assert_array_equal(
+            out[b][ok], flat[idx[ok]].astype(np.int32),
+            err_msg=f"case {b} (start {s0}, step {sgn})")
 
-    q1, t1 = bsw.gather_windows(_pack4(flat), ref, qb, qs, qc, tb, ts, ml, nl,
-                                lo, M=M, W=W)
-    monkeypatch.setattr(bsw, "REF_CHUNK_BITS", 9)
-    C = 1 << 9
-    pad = (-Lref) % C
-    ref2 = np.concatenate([ref, np.full(pad, 4, np.uint8)]).reshape(-1, C)
-    q2, t2 = bsw.gather_windows(_pack4(flat), ref2, qb, qs, qc, tb, ts, ml, nl,
-                                lo, M=M, W=W)
-    np.testing.assert_array_equal(np.asarray(q1), np.asarray(q2))
-    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    # wrapped negative start: t window with lo pushing before base 0.
+    # valid lanes (true index >= 0) must still decode exactly.
+    i0w = np.array([2**32 - 95], np.uint32)   # true start -95, wrapped
+    stw = np.array([1], np.int32)
+    outw = np.asarray(gather_packed_run(words, i0w, stw, X))
+    idx = -95 + np.arange(X)
+    ok = idx >= 0
+    np.testing.assert_array_equal(outw[0][ok],
+                                  flat[idx[ok]].astype(np.int32))
 
 
 def test_gather_rc_matches_host_assembly(rng):
@@ -257,7 +258,7 @@ def test_aligner_desc_path_matches_content_cpu():
 
     a_content = Aligner(ref, idx, cfg)
     a_desc = Aligner(ref, idx, cfg)
-    a_desc._ref_dev = jnp.asarray(codes)       # activates the desc path
+    a_desc._ref_dev = jnp.asarray(pack_codes_words(codes))  # desc path on
 
     out_c = a_content.align_batch(reads)
     out_d = a_desc.align_batch(reads)
