@@ -5,33 +5,52 @@ gathers, popcounts and fixed-trip loops (XLA/TPU-friendly — the same
 "pure gathers" design SURVEY.md section 7 step 2a prescribes). All row
 arithmetic is uint32 (rows < 2^32; no x64 mode).
 
-rank(c, i): checkpoint gather + popcount of 2-bit-matched lanes within
-the 64-base block (4 packed words). Resolve: fixed SA_RATE-trip LF-walk
-to a value-sampled row (guaranteed to land by construction).
+GATHER BATCHING (round-4): generic gathers on this TPU are
+descriptor-bound (~130 M elem/s regardless of element width,
+BASELINE.md microbench), so the layout packs everything one rank step
+touches into ONE gathered record:
+
+  * blk  uint32[ncp, 8]  — per 64-base BWT block: 4 Occ checkpoint
+    words + the 4 packed BWT words. rank(c, i) is one row gather plus
+    dense selects/popcounts (was 5 elementwise gathers); an LF-walk
+    step reuses the same record for bwt_char + rank (was ~7).
+  * mblk uint32[ncp2, 4] — per 64-row mark block: rank checkpoint +
+    2 mark bitvector words (+ pad to a 4-lane record). mark bit and
+    mark rank share one gather (was 4).
+
+rank(c, i): block-record gather + popcount of 2-bit-matched lanes.
+Resolve: fixed SA_RATE-trip LF-walk to a value-sampled row (guaranteed
+to land by construction) — 3 record gathers per step (blk, mblk,
+ssa_pos) instead of ~10 elementwise.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
 
 U1 = jnp.uint32(1)
 FULL = jnp.uint32(0xFFFFFFFF)
+_LANE4 = None  # built lazily inside jit traces; plain arange is fine
 
 
-def _rank(c, i, primary, occ_flat, bwt2):
-    """# of char c in full-BWT rows [0, i) (sentinel excluded).
-    c: int32[...], i: uint32[...]."""
-    ip = i - (i > primary).astype(jnp.uint32)
-    blk = ip >> 6                                     # checkpoint
-    base = occ_flat[(blk << 2) + c.astype(jnp.uint32)]
-    rem = (ip & jnp.uint32(63)).astype(jnp.int32)     # bases into block
-    pat = (jnp.uint32(0x55555555) * c.astype(jnp.uint32))
+def _sel4(rec4, idx):
+    """rec4[..., idx] without a gather: 4-lane masked sum (dense)."""
+    lane = jnp.arange(4, dtype=jnp.int32)
+    return jnp.sum(jnp.where(lane == idx[..., None].astype(jnp.int32),
+                             rec4, jnp.uint32(0)),
+                   axis=-1, dtype=jnp.uint32)
+
+
+def _rank_rec(rec, c, rem):
+    """# of char c within a block record given rem = bases into the
+    block: Occ checkpoint lane c + masked popcount over the 4 packed
+    BWT words (all dense ops; rec is the (…, 8) gathered record)."""
+    base = _sel4(rec[..., :4], c)
+    pat = jnp.uint32(0x55555555) * c.astype(jnp.uint32)
     total = jnp.zeros_like(base)
     for o in range(4):
-        w = bwt2[(blk << 2) + jnp.uint32(o)]
+        w = rec[..., 4 + o]
         y = ~(w ^ pat)
         m = y & (y >> U1) & jnp.uint32(0x55555555)
         cov = jnp.clip(rem - 16 * o, 0, 16)
@@ -41,36 +60,37 @@ def _rank(c, i, primary, occ_flat, bwt2):
     return base + total
 
 
-def _bwt_char(r, primary, bwt2):
-    rp = r - (r > primary).astype(jnp.uint32)
-    w = bwt2[rp >> 4]
-    return ((w >> (2 * (rp & jnp.uint32(15)))) & jnp.uint32(3)) \
-        .astype(jnp.int32)
+def _rank(c, i, primary, blk):
+    """# of char c in full-BWT rows [0, i) (sentinel excluded).
+    c: int32[...], i: uint32[...]. One record gather."""
+    ip = i - (i > primary).astype(jnp.uint32)
+    rec = blk[(ip >> 6).astype(jnp.int32)]
+    rem = (ip & jnp.uint32(63)).astype(jnp.int32)
+    return _rank_rec(rec, c, rem)
 
 
-def _mark_bit(r, marks):
-    return ((marks[r >> 5] >> (r & jnp.uint32(31))) & U1).astype(jnp.bool_)
-
-
-def _mark_rank(r, marks, rankcp):
-    cp = r >> 6
-    base = rankcp[cp]
+def _mark_bit_and_rank(r, mblk):
+    """(marked?, # marked rows before r) from ONE mark-block record."""
+    rec = mblk[(r >> 6).astype(jnp.int32)]
+    base = rec[..., 0]
     rem = (r & jnp.uint32(63)).astype(jnp.int32)
     total = jnp.zeros_like(base)
     for o in range(2):                                # 2 words of 32 rows
-        w = marks[(cp << 1) + jnp.uint32(o)]
+        w = rec[..., 1 + o]
         cov = jnp.clip(rem - 32 * o, 0, 32)
         mask = jnp.where(cov >= 32, FULL,
                          (U1 << cov.astype(jnp.uint32)) - U1)
         total += jax.lax.population_count(w & mask)
-    return base + total
+    wsel = jnp.where((r & jnp.uint32(32)) != 0, rec[..., 2], rec[..., 1])
+    bit = ((wsel >> (r & jnp.uint32(31))) & U1).astype(jnp.bool_)
+    return bit, base + total
 
 
 def backward_search(win, win_ok, fm, k: int):
     """Exact backward search of (…, k) nt4 windows.
 
     fm: dict of device arrays {C (uint32[5]), primary (uint32 scalar),
-    occ_flat, bwt2, n_rows (uint32 scalar)}.
+    blk (uint32[ncp, 8]), n_rows (uint32 scalar)}.
     Returns (lo, hi) uint32 row intervals; empty (0,0) where invalid.
     """
     win = jnp.asarray(win)
@@ -81,10 +101,8 @@ def backward_search(win, win_ok, fm, k: int):
     def step(t, carry):
         lo, hi, ok = carry
         c = jnp.clip(jnp.take(win, k - 1 - t, axis=-1), 0, 3)
-        lo = fm["C"][c] + _rank(c, lo, fm["primary"], fm["occ_flat"],
-                                fm["bwt2"])
-        hi = fm["C"][c] + _rank(c, hi, fm["primary"], fm["occ_flat"],
-                                fm["bwt2"])
+        lo = fm["C"][c] + _rank(c, lo, fm["primary"], fm["blk"])
+        hi = fm["C"][c] + _rank(c, hi, fm["primary"], fm["blk"])
         return lo, hi, ok & (lo < hi)
 
     lo, hi, ok = jax.lax.fori_loop(0, k, step, (lo0, hi0, win_ok))
@@ -96,22 +114,26 @@ def backward_search(win, win_ok, fm, k: int):
 def resolve_rows(rows, valid, fm, sa_rate: int):
     """Rows -> text positions via fixed-trip LF-walk (<= sa_rate steps
     to a value-sampled row). Returns uint32 positions (0 where
-    invalid)."""
+    invalid). 3 record gathers per step (blk + mblk + ssa_pos)."""
     r0 = jnp.where(valid, rows, 0).astype(jnp.uint32)
 
     def step(_, carry):
         r, pos, done, steps = carry
         at_p = r == fm["primary"]
-        mk = _mark_bit(r, fm["ssa_marks"])
+        mk, mrank = _mark_bit_and_rank(r, fm["mblk"])
         newly = ~done & (at_p | mk)
         pos = jnp.where(newly & at_p, steps, pos)
-        samp = fm["ssa_pos"][_mark_rank(r, fm["ssa_marks"],
-                                        fm["ssa_rankcp"])] + steps
+        samp = fm["ssa_pos"][mrank] + steps
         pos = jnp.where(newly & ~at_p, samp, pos)
         done = done | newly
-        c = _bwt_char(r, fm["primary"], fm["bwt2"])
-        r_next = fm["C"][c] + _rank(c, r, fm["primary"], fm["occ_flat"],
-                                    fm["bwt2"])
+        # LF step: ONE block-record gather serves bwt_char AND rank
+        rp = r - (r > fm["primary"]).astype(jnp.uint32)
+        rec = fm["blk"][(rp >> 6).astype(jnp.int32)]
+        w = _sel4(rec[..., 4:8], (rp >> 4) & jnp.uint32(3))
+        c = ((w >> (2 * (rp & jnp.uint32(15)))) & jnp.uint32(3)) \
+            .astype(jnp.int32)
+        rem = (rp & jnp.uint32(63)).astype(jnp.int32)
+        r_next = fm["C"][c] + _rank_rec(rec, c, rem)
         return jnp.where(done, r, r_next), pos, done, steps + 1
 
     _, pos, _, _ = jax.lax.fori_loop(
@@ -121,16 +143,29 @@ def resolve_rows(rows, valid, fm, sa_rate: int):
 
 
 def device_arrays(fm_host) -> dict:
-    """FmIndex (host) -> device array dict for the functions above."""
+    """FmIndex (host) -> device array dict for the functions above
+    (interleaved block records; see module docstring)."""
     import numpy as np
+
+    occ = fm_host.occ.astype(np.uint32)               # (ncp, 4)
+    ncp = occ.shape[0]
+    bwt = np.zeros(ncp * 4, np.uint32)
+    bwt[:len(fm_host.bwt2)] = fm_host.bwt2
+    blk = np.concatenate([occ, bwt.reshape(ncp, 4)], axis=1)
+
+    rankcp = fm_host.ssa_rankcp.astype(np.uint32)     # (ncp2,)
+    ncp2 = rankcp.shape[0]
+    marks = np.zeros(ncp2 * 2, np.uint32)
+    marks[:len(fm_host.ssa_marks)] = fm_host.ssa_marks
+    mblk = np.concatenate(
+        [rankcp[:, None], marks.reshape(ncp2, 2),
+         np.zeros((ncp2, 1), np.uint32)], axis=1)     # 4-lane records
 
     return {
         "C": jnp.asarray(fm_host.C.astype(np.uint32)),
         "primary": jnp.uint32(fm_host.primary),
         "n_rows": jnp.uint32(fm_host.n + 1),
-        "occ_flat": jnp.asarray(fm_host.occ.reshape(-1)),
-        "bwt2": jnp.asarray(fm_host.bwt2),
-        "ssa_marks": jnp.asarray(fm_host.ssa_marks),
-        "ssa_rankcp": jnp.asarray(fm_host.ssa_rankcp),
+        "blk": jnp.asarray(blk),
+        "mblk": jnp.asarray(mblk),
         "ssa_pos": jnp.asarray(fm_host.ssa_pos),
     }
