@@ -46,6 +46,18 @@ _WORKER = textwrap.dedent("""
         print("MERGE_OK")
     else:
         assert merged is None
+    # skewed shapes: unequal batch counts (5 batches over 2 procs),
+    # one huge blob among tiny/empty ones — the streaming per-round
+    # merge must stay exact (and only ever pad to the round max)
+    blobs = [b"x" * (200_000 if i == 2 else (0 if i == 3 else 7 + i))
+             for i in range(5)]
+    mine2 = [blobs[i] for i in range(5) if my_read_slice(i)]
+    merged2 = merge_sam_shards(mine2)
+    if pid == 0:
+        assert merged2 == blobs, [len(m) for m in merged2]
+        print("SKEW_OK")
+    else:
+        assert merged2 is None
 """)
 
 
@@ -155,3 +167,4 @@ def test_two_process_distributed_merge(tmp_path):
     for rc, out, err in outs:
         assert rc == 0, err[-800:]
     assert "MERGE_OK" in outs[0][1]
+    assert "SKEW_OK" in outs[0][1]
