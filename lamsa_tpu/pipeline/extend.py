@@ -27,19 +27,17 @@ from lamsa_tpu.ops.oracle import NEG_INF
 from lamsa_tpu.ops.traceback import traceback_banded
 
 # (max query length, band width) buckets; instances pick the first
-# bucket that fits. GLOBAL gap fills route to W=256 buckets ONLY (in
-# every engine, so bands — and therefore SAM — stay bit-identical
-# across engines): W=256 is the antidiagonal kernel's native width
-# (V = W/2 = 128 lanes = one vreg row), and measured wall time for a
-# global at W=256 on the adiag engine is ~3x faster than the same gap
-# at W=128 on the row kernel despite 2x the band cells (BASELINE.md
-# round-3 kernel section); the compact wire depends on M only, so the
-# wider band adds no collect traffic. Extensions keep the W=128
-# buckets (row kernel; zdrop/best-cell machinery). The last bucket
-# (5120 = 40 * 128) covers interior gaps up to config.chain_max_dist
-# (5000): every chained gap has |n - m| <= chain_diag_slack (100) so
-# W=256 always fits — without it such gaps fell to the
-# fabricated-CIGAR fallback (round-2 judge finding).
+# bucket that fits (both kinds, both widths — bands and therefore SAM
+# stay bit-identical across engines because the bucket choice is
+# engine-independent). On the Pallas backend, GLOBAL instances in any
+# adiag-eligible bucket (_adiag_bucket: both W=128 via the V=64 lane
+# tile and W=256 via V=128) are split into all-global chunks for the
+# antidiagonal engine; extensions always ride the row kernel, which
+# owns the zdrop/best-cell machinery. The last bucket (5120 = 40*128)
+# covers interior gaps up to config.chain_max_dist (5000): every
+# chained gap has |n - m| <= chain_diag_slack (100) so W=256 always
+# fits — without it such gaps fell to the fabricated-CIGAR fallback
+# (round-2 judge finding).
 BUCKETS = ((128, 128), (128, 256), (256, 128), (256, 256), (512, 128),
            (512, 256), (1024, 256), (2048, 256), (5120, 256))
 
@@ -72,12 +70,13 @@ CHUNK_BY_M = {(128, 128): 4096, (128, 256): 4096, (256, 128): 4096,
 # must stay below min(W)//2 - 8 so the band reaches the last DP row.
 EXT_MARGIN = 48
 
-# Route global gap fills in W=256 buckets to the antidiagonal kernel
+# Route global gap fills to the antidiagonal kernel
 # (ops/banded_sw_adiag.py — no prefix-max scan, ~4x the row kernel's
-# cells/s). W=128 buckets stay on the row kernel until the
-# two-instances-per-vreg-row lane packing lands (V = W/2 = 64 would
-# waste half of every 128-lane vreg). Tests flip this off to pin the
-# row engine.
+# cells/s) at BOTH band widths: W=256 is its native V=128 one-vreg-row
+# tile; W=128 runs the V=64 tile (half a vreg row idle, still ~3x the
+# row kernel — enabled since commit 8ee4129 after the q/t slice width
+# was rounded to a 128 multiple). Tests flip this off to pin the row
+# engine.
 ADIAG_ENABLED = True
 
 

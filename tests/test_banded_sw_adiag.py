@@ -93,7 +93,8 @@ def decode_topdown(opbits_row, events_words, term0, start_i, n_ev, wide):
     return [(op, ln) for op, ln in reversed(ops)]
 
 
-@pytest.mark.parametrize("M,W", [(128, 256), (512, 256)])
+@pytest.mark.parametrize("M,W", [(128, 256), (512, 256), (128, 128),
+                                 (512, 128)])
 def test_adiag_matches_xla(rng, M, W):
     B = 16
     q, t_win, m_len, n_len, lo = make_globals(rng, B, M, W)
@@ -113,7 +114,8 @@ def test_adiag_matches_xla(rng, M, W):
                                       err_msg=f"instance {b}")
 
 
-@pytest.mark.parametrize("M,W", [(128, 256), (512, 256)])
+@pytest.mark.parametrize("M,W", [(128, 256), (512, 256), (128, 128),
+                                 (512, 128)])
 def test_adiag_walker_matches_host_traceback(rng, M, W):
     B = 16
     q, t_win, m_len, n_len, lo = make_globals(rng, B, M, W)
