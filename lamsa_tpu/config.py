@@ -108,9 +108,16 @@ def preset(name: str) -> AlignConfig:
             scores=ScoreParams(match=1, mismatch=3, gap_open=2, gap_ext=1),
             kmer=13, seed_step=10)
     if name in ("ont", "ont2d", "nanopore"):
+        # ONT (non-CCS) error is substitution-heavier and runs past the
+        # CLR envelope; denser seed sampling is the measured lever
+        # (tools/ont_preset_sweep.py, sub-heavy profiles, CPU engine):
+        # at 28% total error part_recall is 0.945 at step 6 vs 0.836 at
+        # step 10; 1.000 vs 0.984 at 20%. Softening mismatch to 2
+        # changed nothing, so scoring stays shared with pacbio
+        # (BASELINE.md round-4 ont-preset table).
         return base.replace(
             scores=ScoreParams(match=1, mismatch=3, gap_open=2, gap_ext=1),
-            kmer=13, seed_step=10)
+            kmer=13, seed_step=6)
     if name in ("default", "hifi", "ccs"):
         return base
     raise ValueError(f"unknown preset: {name!r}")
