@@ -63,6 +63,12 @@ class AlignConfig:
     max_cands_per_seed: int = 16    # candidate loci kept per seed
     max_hits_per_read: int = 512    # static bound on chain input
 
+    # Adaptive densification: reads whose best chain scores fewer than
+    # this many anchors' worth are re-seeded on a half-step grid (the
+    # >22%-error tail regime; 0 disables). See pipeline/aln.py
+    # _seed_and_chain and the BASELINE.md round-4 error sweep.
+    adaptive_seed_min_anchors: int = 4
+
     # --- chaining (SURVEY.md section 3.3 sparse DP) ---
     chain_lookback: int = 32        # bounded predecessor scan window
     chain_max_dist: int = 5000      # max ref/read gap within one chain

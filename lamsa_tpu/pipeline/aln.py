@@ -401,37 +401,55 @@ class Aligner:
                 a, NamedSharding(self.mesh,
                                  P(DATA_AXIS, *([None] * (nd - 1)))))
             rc, lens = sh(rc, 2), sh(lens, 1)
-        if L not in self._grids:
-            g = make_qpos_grid(L, self.k, cfg.seed_step)
-            if self._rep is not None:
-                g = jax.device_put(g, self._rep)
-            self._grids[L] = g
-        grid = self._grids[L]
         common = dict(k=self.k, cands_per_seed=cfg.max_cands_per_seed,
                       max_hits=cfg.max_hits_per_read, weight=self.k,
                       lookback=cfg.chain_lookback,
                       max_dist=cfg.chain_max_dist,
                       diag_slack=cfg.chain_diag_slack)
-        if self.seed_backend == "kmer":
-            if "dense_starts" in self._dev:
-                packed = _seed_chain_packed_direct(
-                    rc, lens, grid, self._dev["dense_starts"],
-                    self._dev["dense_counts"], self._dev["positions"],
-                    **common)
-            else:
-                packed = _seed_chain_packed(
+
+        def run(grid):
+            if self.seed_backend == "kmer":
+                if "dense_starts" in self._dev:
+                    return _seed_chain_packed_direct(
+                        rc, lens, grid, self._dev["dense_starts"],
+                        self._dev["dense_counts"], self._dev["positions"],
+                        **common)
+                return _seed_chain_packed(
                     rc, lens, grid, self._dev["keys"], self._dev["starts"],
                     self._dev["counts"], self._dev["positions"], **common)
-        else:
             # genome-scale noise control: a random k-mer still hits
             # ~0.7x per strand in 3.1 Gb, flooding max_hits on long
             # reads; budget hits per (strand, read segment) there
             quota = cfg.max_hits_per_read // 32 \
                 if self.ref.total_len > 1_000_000_000 else 0
-            packed = _seed_chain_packed_fm(
+            return _seed_chain_packed_fm(
                 rc, lens, grid, self._dev, sa_rate=self.index.sa_rate,
                 seg_quota=quota, **common)
-        packed = np.asarray(packed)[:, :B]          # (3, B, H) one transfer
+
+        packed = np.asarray(run(self._grid(L, cfg.seed_step)))[:, :B]
+        # Adaptive densification (reference parity: GEM tolerates
+        # per-seed edits, SURVEY.md section 1 stage 1; our exact-piece
+        # scheme compensates with density). Reads whose BEST chain
+        # carries fewer than adaptive_seed_min_anchors anchors' worth
+        # of score are past the error envelope of the current grid —
+        # retry the batch on a half-step grid and keep the dense
+        # result for just those reads. Never triggers inside the
+        # design envelope (<= 22% error), so the common path costs one
+        # numpy max per batch; the dense signature compiles lazily.
+        amin = cfg.adaptive_seed_min_anchors
+        if amin and cfg.seed_step >= 4:
+            valid = ((packed[1] >> 20) & 1).astype(bool)
+            fbest = np.where(valid, packed[2] & 0x7FFFF, 0).max(axis=1)
+            lens_h = np.asarray(lens)[:B]
+            sparse = (fbest < amin * self.k) \
+                & (lens_h >= self.k + cfg.seed_step * amin)
+            if sparse.any():
+                from lamsa_tpu.utils.timers import GLOBAL as STATS
+                STATS.count("seed_densified_reads", int(sparse.sum()))
+                dense = np.asarray(
+                    run(self._grid(L, max(2, cfg.seed_step // 2))))[:, :B]
+                packed = packed.copy()
+                packed[:, sparse] = dense[:, sparse]
         return {
             "rpos": packed[0].view(np.uint32).astype(np.int64),
             "qpos": packed[1] & 0x7FFFF,
@@ -440,6 +458,18 @@ class Aligner:
             "f": packed[2] & 0x7FFFF,
             "pred": (packed[2] >> 19) - 1,
         }
+
+    def _grid(self, L, step):
+        """Static qpos sample grid per (bucket length, step), cached +
+        replicated; the dense half-step grids only materialize (and
+        compile) when adaptive densification first fires."""
+        key = (L, step)
+        if key not in self._grids:
+            g = make_qpos_grid(L, self.k, step)
+            if self._rep is not None:
+                g = jax.device_put(g, self._rep)
+            self._grids[key] = g
+        return self._grids[key]
 
     def _build_skeleton(self, h, gi, read_len):
         return build_skeleton(
