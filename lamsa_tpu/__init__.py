@@ -8,9 +8,10 @@ A from-scratch reimplementation of the capabilities of yangao07/LAMSA
     SURVEY.md section 2 L3),
   * sparse-DP seed chaining into split-alignment skeletons with SV-event
     classification (reference: split_mapping.c-style chainer, SURVEY.md L4),
-  * banded affine-gap Smith-Waterman gap filling as a Pallas wavefront
-    kernel with int16 score lanes (reference: klib ksw.c SSE2 kernel,
-    SURVEY.md L5 / section 3.4),
+  * banded affine-gap Smith-Waterman gap filling as Pallas kernels —
+    an antidiagonal-wavefront engine for global gap fills plus a
+    rolling-row engine for extensions, sharing one bit-exact contract
+    (reference: klib ksw.c SSE2 kernel, SURVEY.md L5 / section 3.4),
   * SAM output with split records linked by SA:Z tags (SURVEY.md L6).
 
 Host-level parallelism is data parallelism over reads across a
