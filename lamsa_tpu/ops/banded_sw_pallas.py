@@ -281,6 +281,12 @@ def _pick_tile(B: int, M: int, W: int, itemsize: int = 4) -> int:
     for G in (128, 64, 32, 16, 8):
         if B % G or G < floor:
             continue
+        if M > 2048 and G > 32:
+            # measured: Mosaic's actual scoped-vmem stack at (M=5120,
+            # W=256, G=64) is 16.23 MB vs the 16 MB limit (2026-08-21)
+            # — the model below underestimates ~2x at huge M; G=32
+            # halves it with margin
+            continue
         est = (G * itemsize * (M + (M + W))     # q + t blocks
                + 2 * G * (128 // 4) * W * 4     # dirs out block (dbl-buf)
                + G * 8 * W * 4                  # per-group word stack

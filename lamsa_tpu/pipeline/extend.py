@@ -81,10 +81,12 @@ ADIAG_ENABLED = True
 
 
 def _adiag_bucket(M: int, W: int) -> bool:
-    # M <= 2048: the >2048 bucket's wide-event walker path is
-    # interpret-tested but its TPU compile is not yet validated;
-    # covered by the row engine until then
-    return ADIAG_ENABLED and W in (128, 256) and M <= 2048
+    # every bucket incl. (5120, 256): the wide-event walker's TPU
+    # compile is validated (30 s compile / 0.16 s steady at B=128,
+    # tools/tpu_validate_r4.py 2026-08-21) — and the ROW kernel cannot
+    # even compile that bucket on this toolchain without the G<=32
+    # clamp (scoped-vmem OOM), so huge globals must ride adiag
+    return ADIAG_ENABLED and W in (128, 256)
 
 
 _EMPTY_CIGAR = np.empty(0, np.uint32)
