@@ -491,6 +491,52 @@ class Aligner:
         step = -1 if (strand ^ rev) else 1
         return (int(first), step, int(strand))
 
+    # Gap-coalescing geometry (round-4): a 10 kb read yields ~200 seed
+    # blocks, and per-gap DP instances made the pipeline per-instance-
+    # bound (descriptor + compact-wire words + host decode per tiny
+    # ~35-base gap dominated the 10 kb wall; BASELINE.md round-4
+    # profile). Consecutive (gap, block) units are coalesced into ONE
+    # global DP spanning from block s's end to block e's end whenever
+    # the q-span stays under _GROUP_SPAN and the path's diagonal range
+    # under _GROUP_DRIFT. _GROUP_DRIFT <= 56 keeps the W=128 band
+    # sound: anchors preserve diagonals, so the true path's diagonal
+    # at every unit boundary lies within the block-end diagonal range
+    # R; the endpoint-centered band of global_lo leaves
+    # (W - |n-m| - 1)//2 slack, and R <= 56 implies the excursion
+    # need R - |n-m| <= that slack for every endpoint split (proof in
+    # BASELINE.md round-4), with >= 24 margin left for within-gap
+    # error drift (_MIN_SLACK). Groups whose drift range exceeds the
+    # cap fall back to per-unit instances.
+    _GROUP_SPAN = 448
+    _GROUP_DRIFT = 56
+
+    @staticmethod
+    def _group_blocks(qe_b, re_b):
+        """Group boundaries over block-end coords: returns int array
+        `bnds` of block indices; group k spans end(block bnds[k]) ->
+        end(block bnds[k+1]). Quantized q-span grouping (max group m =
+        _GROUP_SPAN - 1) with a per-unit fallback for groups whose
+        block-end diagonal range exceeds _GROUP_DRIFT."""
+        n = len(qe_b)
+        if n <= 1:
+            return np.zeros(1, np.int64)
+        grp = (qe_b - qe_b[0]) // Aligner._GROUP_SPAN
+        # last block index of each quantum, always including block n-1
+        last = np.flatnonzero(np.concatenate(
+            [grp[1:] != grp[:-1], np.ones(1, bool)]))
+        d = (re_b - qe_b) - (re_b[0] - qe_b[0])
+        bnds = [0]
+        for e in last:
+            s = bnds[-1]
+            if e <= s:
+                continue
+            seg = d[s:e + 1]
+            if seg.max() - seg.min() > Aligner._GROUP_DRIFT:
+                bnds.extend(range(s + 1, e + 1))   # per-unit fallback
+            else:
+                bnds.append(int(e))
+        return np.asarray(bnds, np.int64)
+
     def _enqueue_parts(self, sk, read_codes, batcher,
                        flat_off=None) -> list[_PendingPart]:
         cfg = self.config
@@ -526,14 +572,23 @@ class Aligner:
             tlen_l = min(q0 - ls + EXT_MARGIN, r0)
             tlen_r = min(rs2 - qe + EXT_MARGIN, self.ref.total_len - re_)
 
+            # coalesced spans: group k = end(block bnds[k]) ->
+            # end(block bnds[k+1]), one global DP each (covers the
+            # gaps AND interior anchors of the span — anchors are
+            # exact matches, so DP recovers their diagonals; see
+            # _GROUP_SPAN note above)
+            qe_b = blocks[:, 0] + blocks[:, 2]
+            re_b = blocks[:, 1] + blocks[:, 2]
+            bnds = self._group_blocks(qe_b, re_b)
+            s_, e_ = bnds[:-1], bnds[1:]
             if flat_off is not None:
                 # descriptor path (device-gather engine): no host
-                # content slices at all — gap descriptors are built
-                # vectorized over the blocks array and bulk-enqueued
-                qa_ = blocks[:-1, 0] + blocks[:-1, 2]
-                ra_ = blocks[:-1, 1] + blocks[:-1, 2]
-                mlen = blocks[1:, 0] - qa_
-                nlen = blocks[1:, 1] - ra_
+                # content slices at all — span descriptors are built
+                # vectorized and bulk-enqueued
+                qa_ = qe_b[s_]
+                ra_ = re_b[s_]
+                mlen = qe_b[e_] - qa_
+                nlen = re_b[e_] - ra_
                 if part.strand == 0:
                     q_base = flat_off + qa_
                 else:
@@ -551,7 +606,8 @@ class Aligner:
                     self._qdesc(flat_off, L, part.strand, qe, rs2 - qe, 0),
                     (re_, 1))
             else:
-                # content path (host/XLA engine)
+                # content path (host/XLA engine) — same spans, so SAM
+                # stays byte-identical across engines
                 if part.strand == 0:
                     qseq = read_codes
                 else:
@@ -559,10 +615,10 @@ class Aligner:
                         rc_codes = _revcomp_codes(read_codes)
                     qseq = rc_codes
                 gap_handles = []
-                for (qa, ra, la), (qb, rb, _lb) in zip(blocks, blocks[1:]):
-                    qa_, ra_ = int(qa + la), int(ra + la)
+                for s, e in zip(s_, e_):
                     gap_handles.append(batcher.add_global(
-                        qseq[qa_:int(qb)], self.ref.codes[ra_:int(rb)]))
+                        qseq[int(qe_b[s]):int(qe_b[e])],
+                        self.ref.codes[int(re_b[s]):int(re_b[e])]))
                 left_handle = batcher.add_extend(
                     qseq[ls:q0][::-1],
                     self.ref.codes[r0 - tlen_l:r0][::-1],
@@ -661,16 +717,16 @@ class Aligner:
         pos = r0 - left.t_used
         score += left.score
 
-        m_runs = ((blocks[:, 2].astype(np.uint32) << np.uint32(4))
-                  | np.uint32(OP_M))
-        segs = [left.cigar[::-1]]
-        score += int(blocks[:, 2].sum()) * match
-        for bi in range(len(blocks)):
-            segs.append(m_runs[bi:bi + 1])
-            if bi < len(blocks) - 1:
-                g = batcher.result(pp.gap_handles[bi])
-                segs.append(g.cigar)
-                score += g.score
+        # stitch: left_ext | M(block 0) | span DPs | right_ext —
+        # interior anchors live inside the coalesced span results
+        la0 = int(blocks[0, 2])
+        segs = [left.cigar[::-1],
+                np.array([(la0 << 4) | OP_M], np.uint32)]
+        score += la0 * match
+        for h in pp.gap_handles:
+            g = batcher.result(h)
+            segs.append(g.cigar)
+            score += g.score
 
         qe = int(blocks[-1][0] + blocks[-1][2])
         segs.append(right.cigar)
