@@ -258,6 +258,10 @@ class Aligner:
                                                            self._rep)
                 self._dev["dense_counts"] = jax.device_put(dense_c,
                                                            self._rep)
+                from lamsa_tpu.pipeline.seeding import pack_positions16
+                self._dev["pos16"] = jax.device_put(
+                    pack_positions16(index.positions.astype(np.uint32)),
+                    self._rep)
 
     # ------------------------------------------------------------- batching
 
@@ -412,7 +416,7 @@ class Aligner:
                 if "dense_starts" in self._dev:
                     return _seed_chain_packed_direct(
                         rc, lens, grid, self._dev["dense_starts"],
-                        self._dev["dense_counts"], self._dev["positions"],
+                        self._dev["dense_counts"], self._dev["pos16"],
                         **common)
                 return _seed_chain_packed(
                     rc, lens, grid, self._dev["keys"], self._dev["starts"],

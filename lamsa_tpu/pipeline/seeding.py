@@ -70,17 +70,41 @@ def table_lookup(keys, idx_keys, idx_starts, idx_counts, idx_positions, C):
     return pos, ok
 
 
-def table_lookup_direct(keys, dense_starts, dense_counts, idx_positions,
-                        C):
+def pack_positions16(positions):
+    """Host-side: reshape the flat position table into 16-wide records
+    for table_lookup_direct's record gather (padded; pipeline/aln.py
+    uploads this for the TPU direct-address path)."""
+    import numpy as np
+    p = np.asarray(positions)
+    pad = (-len(p)) % 16
+    return np.concatenate(
+        [p, np.zeros(pad + 16, p.dtype)]).reshape(-1, 16)
+
+
+def table_lookup_direct(keys, dense_starts, dense_counts, pos16, C):
     """Direct-address variant of table_lookup: dense 4^k tables replace
     the binary search with a single gather (k <= 13 keeps the tables at
-    2 x 256 MB; pipeline/aln.py builds them for the TPU engine)."""
+    2 x 256 MB; pipeline/aln.py builds them for the TPU engine).
+
+    The C candidate positions of a key are CONTIGUOUS in the position
+    table, so they are fetched as TWO 16-wide row records (pos16 =
+    pack_positions16 layout) and realigned with a 4-stage log-shift —
+    2 gather descriptors per window instead of C elementwise gathers
+    (gathers are descriptor-bound on this TPU; this halved the whole
+    fused seeding stage at the 10 kb point, BASELINE.md round-4).
+    Requires C <= 16 (start & 15 + C <= 32)."""
+    assert C <= 16
     start = dense_starts[keys]
     count = jnp.minimum(dense_counts[keys], C)
+    rows = (start >> 4)[..., None] + jnp.arange(2, dtype=jnp.int32)
+    rec = pos16[jnp.clip(rows, 0, pos16.shape[0] - 1)]
+    flat = rec.reshape(*start.shape, 32)
+    sh = (start & 15)[..., None]
+    for kbit in range(4):
+        flat = jnp.where((sh & (1 << kbit)) != 0,
+                         jnp.roll(flat, -(1 << kbit), axis=-1), flat)
+    pos = flat[..., :C]
     offs = jnp.arange(C)[None, None, :]
-    pidx = jnp.minimum(start[..., None] + offs,
-                       idx_positions.shape[0] - 1)
-    pos = idx_positions[pidx]
     ok = offs < count[..., None]                  # absent keys: count 0
     return pos, ok
 
@@ -128,18 +152,18 @@ def pack_hits(qpos_grid, read_len, pos_f, ok_f, pos_r, ok_r, win_ok, *,
 @functools.partial(jax.jit, static_argnames=("k", "cands_per_seed",
                                              "max_hits"))
 def seed_hits_direct(read_codes, read_len, qpos_grid, dense_starts,
-                     dense_counts, idx_positions, *, k, cands_per_seed,
+                     dense_counts, pos16, *, k, cands_per_seed,
                      max_hits):
     """seed_hits with direct-address lookup (dense 4^k start/count
-    tables) — same output contract, one gather instead of a 23-step
-    binary search per window."""
+    tables + 16-wide position records) — same output contract, record
+    gathers instead of a 23-step binary search per window."""
     C = cands_per_seed
     win, win_ok = extract_windows(read_codes, read_len, qpos_grid, k)
     key_f, key_r = window_keys(win, k)
     pos_f, ok_f = table_lookup_direct(key_f, dense_starts, dense_counts,
-                                      idx_positions, C)
+                                      pos16, C)
     pos_r, ok_r = table_lookup_direct(key_r, dense_starts, dense_counts,
-                                      idx_positions, C)
+                                      pos16, C)
     return pack_hits(qpos_grid, read_len, pos_f, ok_f, pos_r, ok_r, win_ok,
                      k=k, max_hits=max_hits)
 

@@ -136,7 +136,8 @@ def test_seed_hits_with_errors_still_vote(rng):
 def test_seed_hits_direct_matches_search(rng):
     """Direct-address (dense 4^k) lookup must reproduce the binary
     search path bit-for-bit (the TPU engine uses it for k <= 13)."""
-    from lamsa_tpu.pipeline.seeding import seed_hits_direct
+    from lamsa_tpu.pipeline.seeding import (pack_positions16,
+                                            seed_hits_direct)
     k = 9
     genome = sim.random_genome(rng, 20000)
     ref = codes_of(genome[0].seq)
@@ -160,7 +161,8 @@ def test_seed_hits_direct_matches_search(rng):
     dense_c = np.zeros(4 ** k, np.int32)
     dense_s[idx.keys] = idx.starts
     dense_c[idx.keys] = idx.counts
-    got = seed_hits_direct(rc, rl, grid, dense_s, dense_c, pos, **common)
+    got = seed_hits_direct(rc, rl, grid, dense_s, dense_c,
+                           pack_positions16(pos), **common)
     for name in ("qpos", "rpos", "strand", "valid"):
         assert np.array_equal(np.asarray(got[name]),
                               np.asarray(want[name])), name
