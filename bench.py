@@ -319,18 +319,19 @@ def main():
     try:
         from lamsa_tpu import sim
         rng10 = np.random.default_rng(SEED + 1)
-        reads10 = sim.simulate_reads(rng10, genome, 384,
+        reads10 = sim.simulate_reads(rng10, genome, 768,
                                      read_len=(9000, 11000), sub=0.02,
                                      ins=0.04, dele=0.04, sv_fraction=0.15)
         from lamsa_tpu.eval import evaluate
         from lamsa_tpu.pipeline.aln import Aligner, align_reads
         a10 = Aligner(ref, idx, cfg)
-        a10.align_batch(reads10[:128])      # warm the 16k-bucket sigs
-        t0 = time.time()                    # production config: batch
-        out10 = list(align_reads(            # pipelining over batches
-            ref, idx, reads10[128:], cfg, batch_size=128, aligner=a10))
-        rps10 = (len(reads10) - 128) / (time.time() - t0)
-        st10 = evaluate(out10, reads10[128:])
+        a10.align_batch(reads10[:256])      # warm the 16k-bucket sigs
+        t0 = time.time()                    # production config for long
+        out10 = list(align_reads(            # reads: batch 256 (knob
+            ref, idx, reads10[256:], cfg,    # sweep, BASELINE round 4 —
+            batch_size=256, aligner=a10))    # amortizes chunk occupancy
+        rps10 = (len(reads10) - 256) / (time.time() - t0)
+        st10 = evaluate(out10, reads10[256:])
         recall10 = st10.part_recall
         log(f"10kb: {rps10:.1f} reads/s; {st10.summary()}")
     except Exception as e:  # noqa: BLE001
