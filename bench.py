@@ -94,7 +94,7 @@ def _measure_calls(fn, cells, name):
     RTT jitter into the measurement): after compile + warmup, take
     min over several (run_n(hi) - run_n(lo)) / (hi - lo) paired deltas
     — noise is one-sided (relay stalls only add time). Rep counts are
-    calibrated so each window covers >= ~150 ms of device time: the
+    calibrated so each window covers >= ~250 ms of device time: the
     antidiagonal kernel is sub-millisecond per call and drowns in RTT
     at small rep counts."""
     def run_n(n):
