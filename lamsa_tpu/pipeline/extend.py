@@ -565,18 +565,24 @@ class DpBatcher:
             cigars, score, si, sd = collect_group_pallas(dev, M, topdown)
         if isinstance(insts, dict):            # columnar launch
             sl = insts
-            idxs, los = sl["idx"], sl["lo"]
-            for b in range(len(idxs)):
-                lo_b = int(los[b])
-                i = int(si[b])
-                j = i + lo_b + int(sd[b])
+            K = len(sl["idx"])
+            # bulk-convert device/np scalars once (tolist() is C-level;
+            # per-element int() on np scalars was ~0.4 ms/read of the
+            # 10 kb host wall)
+            idxs = sl["idx"].tolist()
+            los = sl["lo"].tolist()
+            i_l = si[:K].tolist()
+            j_l = (si[:K] + sl["lo"] + sd[:K]).tolist()
+            sc_l = score[:K].tolist()
+            res = self._results
+            for b in range(K):
                 cig = cigars[b]
                 if cig is None:
                     q, t = self._materialize(sl, b)
-                    cig = native.banded_sw_tb(q, t, self.scores, lo_b,
-                                              lo_b + W - 1, i, j)
-                self._results[int(idxs[b])] = DpResult(int(score[b]),
-                                                       cig, i, j)
+                    cig = native.banded_sw_tb(q, t, self.scores, los[b],
+                                              los[b] + W - 1, i_l[b],
+                                              j_l[b])
+                res[idxs[b]] = DpResult(sc_l[b], cig, i_l[b], j_l[b])
             return
         from lamsa_tpu.ops.banded_sw import global_lo
         for b, inst in enumerate(insts):
