@@ -369,3 +369,36 @@ def test_adaptive_densification_at_25pct_error():
     sam_on = [format_sam_record(r) for rs in out_on for r in rs]
     sam_off = [format_sam_record(r) for rs in out_off for r in rs]
     assert sam_on == sam_off
+
+
+def test_group_blocks_boundaries():
+    """Span-grouping geometry: single block, quantum splits, and the
+    per-unit fallback when the block-end diagonal range exceeds the
+    W=128-safe drift cap."""
+    import numpy as np
+    from lamsa_tpu.pipeline.aln import Aligner
+
+    # single block -> no groups
+    assert Aligner._group_blocks(np.array([100]), np.array([100])).tolist() \
+        == [0]
+
+    # evenly spaced blocks, no drift: groups span <= _GROUP_SPAN and
+    # every boundary is a real block index ending at n-1
+    qe = np.arange(1, 41) * 60          # 40 blocks, 60 bp apart
+    re_ = qe.copy()
+    b = Aligner._group_blocks(qe, re_)
+    assert b[0] == 0 and b[-1] == 39
+    for s, e in zip(b[:-1], b[1:]):
+        assert 0 < qe[e] - qe[s] < Aligner._GROUP_SPAN + 60
+    # interior groups coalesce several units (the point of the scheme)
+    assert len(b) < 15
+
+    # drift outlier: one segment exceeding _GROUP_DRIFT falls back to
+    # per-unit boundaries (every block is a boundary there)
+    re2 = qe.copy()
+    re2[10:] += Aligner._GROUP_DRIFT + 40   # jump inside a quantum
+    b2 = Aligner._group_blocks(qe, re2)
+    assert 10 in b2.tolist() and 9 in b2.tolist()
+    assert b2[-1] == 39
+    # all boundaries strictly increasing
+    assert (np.diff(b2) > 0).all()
