@@ -31,7 +31,6 @@ import jax.numpy as jnp
 
 U1 = jnp.uint32(1)
 FULL = jnp.uint32(0xFFFFFFFF)
-_LANE4 = None  # built lazily inside jit traces; plain arange is fine
 
 
 def _sel4(rec4, idx):

@@ -223,14 +223,36 @@ class Aligner:
             self.k = max(self.config.kmer, auto_kmer(ref.total_len))
             self._dev = device_arrays(index)
         else:
+            from lamsa_tpu.ops.banded_sw import backend_kind
             self.seed_backend = "kmer"
             self.k = index.k
-            self._dev = {
-                "keys": jnp.asarray(index.keys),
-                "starts": jnp.asarray(index.starts),
-                "counts": jnp.asarray(index.counts),
-                "positions": jnp.asarray(index.positions.astype(np.uint32)),
-            }
+            if backend_kind() == "pallas" and self.k <= 13:
+                # dense 4^k direct-address tables (2 x 256 MB HBM at
+                # k=13): one gather replaces the 23-step binary search.
+                # The sorted keys/starts/counts and the flat positions
+                # array are NOT uploaded — the direct path reads only
+                # the dense tables + the 16-wide position records
+                # (uploading both layouts doubled position-table HBM)
+                dense_s = np.zeros(4 ** self.k, np.int32)
+                dense_c = np.zeros(4 ** self.k, np.int32)
+                dense_s[index.keys] = index.starts
+                dense_c[index.keys] = index.counts
+                from lamsa_tpu.pipeline.seeding import pack_positions16
+                self._dev = {
+                    "dense_starts": jnp.asarray(dense_s),
+                    "dense_counts": jnp.asarray(dense_c),
+                    "pos16": jnp.asarray(
+                        pack_positions16(index.positions
+                                         .astype(np.uint32))),
+                }
+            else:
+                self._dev = {
+                    "keys": jnp.asarray(index.keys),
+                    "starts": jnp.asarray(index.starts),
+                    "counts": jnp.asarray(index.counts),
+                    "positions": jnp.asarray(
+                        index.positions.astype(np.uint32)),
+                }
         if self._rep is not None:
             # replicate the index tables once per chip (SURVEY.md
             # section 5: per-chip index replica; whole-genome FM fits)
@@ -243,25 +265,39 @@ class Aligner:
         # per instance.
         from lamsa_tpu.ops.banded_sw import backend_kind, pack_ref_device
         self._ref_dev = None
+        self._inflight_budget = None
         if backend_kind() == "pallas":
             # packed int32 nibble words — word indices stay int32-safe
             # to the 4 Gb uint32 ceiling (ops/banded_sw.py layout note)
             self._ref_dev = pack_ref_device(ref.codes, self._rep)
-            if self.seed_backend == "kmer" and self.k <= 13:
-                # dense 4^k direct-address tables (2 x 256 MB HBM at
-                # k=13): one gather replaces the 23-step binary search
-                dense_s = np.zeros(4 ** self.k, np.int32)
-                dense_c = np.zeros(4 ** self.k, np.int32)
-                dense_s[index.keys] = index.starts
-                dense_c[index.keys] = index.counts
-                self._dev["dense_starts"] = jax.device_put(dense_s,
-                                                           self._rep)
-                self._dev["dense_counts"] = jax.device_put(dense_c,
-                                                           self._rep)
-                from lamsa_tpu.pipeline.seeding import pack_positions16
-                self._dev["pos16"] = jax.device_put(
-                    pack_positions16(index.positions.astype(np.uint32)),
-                    self._rep)
+            self._inflight_budget = self._compute_inflight_budget()
+
+    def _compute_inflight_budget(self) -> int:
+        """Device-byte budget for in-flight DP chunk workspace (see the
+        chunk-scheduling note in pipeline/extend.py): a fraction of
+        device memory minus the resident index/ref arrays, so chunk
+        dispatch throttles itself at whole-genome scale instead of
+        pushing the allocator into churn (the round-4 batch-256
+        config-4 collapse). Overridable for tuning via
+        LAMSA_INFLIGHT_BUDGET (bytes) / LAMSA_INFLIGHT_FRACTION."""
+        import os
+        env = os.environ.get("LAMSA_INFLIGHT_BUDGET")
+        if env:
+            return int(float(env))
+        limit = 0
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            limit = int(stats.get("bytes_limit", 0))
+        except Exception:  # noqa: BLE001 — relay backends may not expose
+            pass
+        if not limit:
+            limit = 16_000_000_000        # v5e-class default
+        resident = int(self._ref_dev.nbytes) if self._ref_dev is not None \
+            else 0
+        for a in self._dev.values():
+            resident += int(getattr(a, "nbytes", 0))
+        frac = float(os.environ.get("LAMSA_INFLIGHT_FRACTION", "0.6"))
+        return max(int(max(limit - resident, 0) * frac), 256 << 20)
 
     # ------------------------------------------------------------- batching
 
@@ -323,7 +359,8 @@ class Aligner:
 
         batcher = DpBatcher(cfg.scores, device_sources=device_sources,
                             min_band=cfg.band_width, mesh=self.mesh,
-                            host_sources=host_sources)
+                            host_sources=host_sources,
+                            inflight_budget=self._inflight_budget)
         pending: list[tuple[int, list[_PendingPart], object]] = []
 
         flat_dev = device_sources[0] if device_sources is not None else None
@@ -516,30 +553,38 @@ class Aligner:
 
     @staticmethod
     def _group_blocks(qe_b, re_b):
-        """Group boundaries over block-end coords: returns int array
-        `bnds` of block indices; group k spans end(block bnds[k]) ->
-        end(block bnds[k+1]). Quantized q-span grouping (max group m =
-        _GROUP_SPAN - 1) with a per-unit fallback for groups whose
-        block-end diagonal range exceeds _GROUP_DRIFT."""
+        """Group boundaries over block-end coords: returns (bnds, rng);
+        `bnds` is an int array of block indices — group k spans
+        end(block bnds[k]) -> end(block bnds[k+1]) — and rng[k] is the
+        group's block-end diagonal range (0 for per-unit fallback
+        groups; used by the caller to route wide-drift groups onto the
+        W=256 band). Quantized q-span grouping: a group may straddle
+        two adjacent quanta, so max group m <= 2*_GROUP_SPAN - 1 (895;
+        still inside the 1024 bucket). Groups whose block-end diagonal
+        range exceeds _GROUP_DRIFT fall back to per-unit instances."""
         n = len(qe_b)
         if n <= 1:
-            return np.zeros(1, np.int64)
+            return np.zeros(1, np.int64), np.zeros(0, np.int64)
         grp = (qe_b - qe_b[0]) // Aligner._GROUP_SPAN
         # last block index of each quantum, always including block n-1
         last = np.flatnonzero(np.concatenate(
             [grp[1:] != grp[:-1], np.ones(1, bool)]))
         d = (re_b - qe_b) - (re_b[0] - qe_b[0])
         bnds = [0]
+        rng = []
         for e in last:
             s = bnds[-1]
             if e <= s:
                 continue
             seg = d[s:e + 1]
-            if seg.max() - seg.min() > Aligner._GROUP_DRIFT:
+            r = int(seg.max() - seg.min())
+            if r > Aligner._GROUP_DRIFT:
                 bnds.extend(range(s + 1, e + 1))   # per-unit fallback
+                rng.extend([0] * (e - s))
             else:
                 bnds.append(int(e))
-        return np.asarray(bnds, np.int64)
+                rng.append(r)
+        return np.asarray(bnds, np.int64), np.asarray(rng, np.int64)
 
     def _enqueue_parts(self, sk, read_codes, batcher,
                        flat_off=None) -> list[_PendingPart]:
@@ -583,24 +628,57 @@ class Aligner:
             # _GROUP_SPAN note above)
             qe_b = blocks[:, 0] + blocks[:, 2]
             re_b = blocks[:, 1] + blocks[:, 2]
-            bnds = self._group_blocks(qe_b, re_b)
+            bnds, rng = self._group_blocks(qe_b, re_b)
             s_, e_ = bnds[:-1], bnds[1:]
+            qa_ = qe_b[s_]
+            ra_ = re_b[s_]
+            mlen = qe_b[e_] - qa_
+            nlen = re_b[e_] - ra_
+            # band routing: a group whose interior diagonal range rng
+            # does not leave _MIN_SLACK drift margin inside the W=128
+            # band must ride W=256 (the W=256 slack is always >=
+            # rng + _MIN_SLACK for rng <= _GROUP_DRIFT)
+            from lamsa_tpu.pipeline.extend import (_MIN_SLACK,
+                                                   MAX_BUCKET_M)
+            need = np.abs(nlen - mlen) + 1
+            minw = np.where((128 - need) // 2 < rng + _MIN_SLACK,
+                            256, 0)
+            # a unit whose q-gap + trailing anchor exceeds the largest
+            # bucket M fits no bucket (chained gaps alone are <=
+            # chain_max_dist <= MAX_BUCKET_M, but the merged anchor
+            # block after it can be arbitrarily long): emit the gap
+            # alone and the anchor as an explicit exact M run
+            anchors_after = None
+            over = mlen > MAX_BUCKET_M
+            if over.any():
+                STATS.count("dp_oversize_unit_split", int(over.sum()))
+                anchors_after = np.where(over, blocks[e_, 2], 0)
+                mlen = np.where(over, blocks[e_, 0] - qa_, mlen)
+                nlen = np.where(over, blocks[e_, 1] - ra_, nlen)
+
+            def _with_anchors(h0):
+                handles = list(range(h0, h0 + len(mlen)))
+                if anchors_after is None:
+                    return handles
+                gh = []
+                for i, h in enumerate(handles):
+                    gh.append(h)
+                    if anchors_after[i]:
+                        gh.append(("M", int(anchors_after[i])))
+                return gh
+
             if flat_off is not None:
                 # descriptor path (device-gather engine): no host
                 # content slices at all — span descriptors are built
                 # vectorized and bulk-enqueued
-                qa_ = qe_b[s_]
-                ra_ = re_b[s_]
-                mlen = qe_b[e_] - qa_
-                nlen = re_b[e_] - ra_
                 if part.strand == 0:
                     q_base = flat_off + qa_
                 else:
                     q_base = flat_off + (L - 1 - qa_)
                 h0 = batcher.add_globals_bulk(
                     mlen, nlen, q_base, 1 if part.strand == 0 else -1,
-                    part.strand, ra_)
-                gap_handles = list(range(h0, h0 + len(mlen)))
+                    part.strand, ra_, minw=minw)
+                gap_handles = _with_anchors(h0)
                 left_handle = batcher.add_extend_desc(
                     q0 - ls, tlen_l, cfg.scores.end_bonus,
                     self._qdesc(flat_off, L, part.strand, ls, q0 - ls, 1),
@@ -618,11 +696,17 @@ class Aligner:
                     if rc_codes is None:
                         rc_codes = _revcomp_codes(read_codes)
                     qseq = rc_codes
+                handles = []
+                for i in range(len(mlen)):
+                    handles.append(batcher.add_global(
+                        qseq[int(qa_[i]):int(qa_[i] + mlen[i])],
+                        self.ref.codes[int(ra_[i]):int(ra_[i] + nlen[i])],
+                        minw=int(minw[i])))
                 gap_handles = []
-                for s, e in zip(s_, e_):
-                    gap_handles.append(batcher.add_global(
-                        qseq[int(qe_b[s]):int(qe_b[e])],
-                        self.ref.codes[int(re_b[s]):int(re_b[e])]))
+                for i, h in enumerate(handles):
+                    gap_handles.append(h)
+                    if anchors_after is not None and anchors_after[i]:
+                        gap_handles.append(("M", int(anchors_after[i])))
                 left_handle = batcher.add_extend(
                     qseq[ls:q0][::-1],
                     self.ref.codes[r0 - tlen_l:r0][::-1],
@@ -728,6 +812,11 @@ class Aligner:
                 np.array([(la0 << 4) | OP_M], np.uint32)]
         score += la0 * match
         for h in pp.gap_handles:
+            if isinstance(h, tuple):      # ("M", len): explicit anchor
+                _, ln = h                 # run after an oversize unit
+                segs.append(np.array([(ln << 4) | OP_M], np.uint32))
+                score += ln * match
+                continue
             g = batcher.result(h)
             segs.append(g.cigar)
             score += g.score

@@ -379,15 +379,16 @@ def test_group_blocks_boundaries():
     from lamsa_tpu.pipeline.aln import Aligner
 
     # single block -> no groups
-    assert Aligner._group_blocks(np.array([100]), np.array([100])).tolist() \
-        == [0]
+    b0, r0 = Aligner._group_blocks(np.array([100]), np.array([100]))
+    assert b0.tolist() == [0] and len(r0) == 0
 
     # evenly spaced blocks, no drift: groups span <= _GROUP_SPAN and
     # every boundary is a real block index ending at n-1
     qe = np.arange(1, 41) * 60          # 40 blocks, 60 bp apart
     re_ = qe.copy()
-    b = Aligner._group_blocks(qe, re_)
+    b, rng = Aligner._group_blocks(qe, re_)
     assert b[0] == 0 and b[-1] == 39
+    assert len(rng) == len(b) - 1 and (rng == 0).all()   # no drift
     for s, e in zip(b[:-1], b[1:]):
         assert 0 < qe[e] - qe[s] < Aligner._GROUP_SPAN + 60
     # interior groups coalesce several units (the point of the scheme)
@@ -397,8 +398,45 @@ def test_group_blocks_boundaries():
     # per-unit boundaries (every block is a boundary there)
     re2 = qe.copy()
     re2[10:] += Aligner._GROUP_DRIFT + 40   # jump inside a quantum
-    b2 = Aligner._group_blocks(qe, re2)
+    b2, rng2 = Aligner._group_blocks(qe, re2)
     assert 10 in b2.tolist() and 9 in b2.tolist()
     assert b2[-1] == 39
+    assert len(rng2) == len(b2) - 1
     # all boundaries strictly increasing
     assert (np.diff(b2) > 0).all()
+
+
+def test_oversize_gap_anchor_unit_splits():
+    """A chained ~4.9 kb interior gap followed by a long merged anchor
+    block exceeds the largest DP bucket (MAX_BUCKET_M): the enqueuer
+    must split the unit into a gap-only global plus an explicit anchor
+    M run — never the fabricated I+D no-bucket fallback (round-4
+    advisor medium finding)."""
+    from lamsa_tpu.io.sam import OP_D, OP_I, cigar_pairs
+    from lamsa_tpu.utils.timers import GLOBAL as STATS
+
+    rng = np.random.default_rng(77)
+    genome, ref, idx = make_ref(rng, 40000)
+    g = genome[0].seq
+    # read = 2 kb exact prefix | 4.9 kb divergent interior | 2.5 kb
+    # exact suffix; ref positions 2000..6900 are replaced, so the
+    # chain links anchors across a ~4.9 kb near-diagonal gap and the
+    # suffix merges into ONE long anchor block (gap + block > 5120)
+    noise = sim.random_genome(np.random.default_rng(78), 4900)[0].seq
+    read = sim.FastxRecord(name="oversize", seq=g[:2000] + noise
+                           + g[6900:9400])
+    STATS.reset()
+    out = Aligner(ref, idx, CFG).align_batch([read])
+    assert STATS.counters.get("dp_oversize_unit_split", 0) >= 1
+    assert STATS.counters.get("dp_no_bucket_fallback", 0) == 0
+    rec = out[0][0]
+    assert not rec.flag & FLAG_UNMAPPED
+    assert rec.pos == 0
+    # no fabricated giant I-then-D pair anywhere in the cigar
+    pairs = list(cigar_pairs(rec.cigar))
+    for (op1, l1), (op2, l2) in zip(pairs, pairs[1:]):
+        assert not (op1 == OP_I and op2 == OP_D
+                    and l1 > 4000 and l2 > 4000), pairs
+    # both exact flanks must be recovered as aligned (M) coverage
+    m_total = sum(ln for op, ln in pairs if op == 0)
+    assert m_total >= 4000, pairs
