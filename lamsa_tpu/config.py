@@ -68,6 +68,23 @@ class AlignConfig:
     # >22%-error tail regime; 0 disables). See pipeline/aln.py
     # _seed_and_chain and the BASELINE.md round-4 error sweep.
     adaptive_seed_min_anchors: int = 4
+    # On the FM backend the adaptive re-seed also searches every
+    # piece's 1-edit variants (ops/fm.py backward_search_1edit — the
+    # GEM ≤e-edit semantic, SURVEY.md §7.2a), keeping this many
+    # candidate loci per variant track (0 disables; never used on the
+    # exact-piece hot path).
+    seed_1edit_cands: int = 2
+    # Which edit families the variant tracks cover ('s' subs, 'd'
+    # deletions, 'i' insertions). Subs-only measured best: indel
+    # variants anchor on ±1-shifted diagonals, which conflicts with
+    # exact-coordinate block building (ops/fm.py edit1_tracks note).
+    seed_1edit_kinds: str = "s"
+    # Second adaptive trigger: re-seed when any read stretch of this
+    # many seed windows has NO candidate hit on either strand (a
+    # missed small part leaves the score trigger blind; 0 disables).
+    # 40 windows is ~1e-4 false-fire per stretch at the 15% design
+    # point (pipeline/aln.py _seed_and_chain).
+    adaptive_seed_gap_windows: int = 40
 
     # --- chaining (SURVEY.md section 3.3 sparse DP) ---
     chain_lookback: int = 32        # bounded predecessor scan window

@@ -110,6 +110,88 @@ def backward_search(win, win_ok, fm, k: int):
     return lo, hi
 
 
+def edit1_tracks(k: int, kinds: str = "s"):
+    """Static track tables for backward_search_1edit: patterns at edit
+    distance exactly 1 from a k-length piece. kinds selects families:
+      's': 3k substitution tracks (pattern length k): position p gets
+        win[p] ^ x, x in 1..3;
+      'd': k deletion tracks (length k - 1): read char j dropped;
+      'i': 4(k-1) insertion tracks (length k + 1): reference has an
+        extra char c in gap j (interior gaps only — edge gaps are
+        covered by the shorter exact suffix/prefix of neighbors).
+    Production default is subs-only: indel-variant anchors sit on
+    ±1-shifted diagonals, which breaks the pipeline's blocks-are-
+    coordinate-exact invariant (overlapping off-diagonal anchors are
+    conflict-dropped in skeleton.anchors_to_blocks) — measured as a
+    net recall LOSS (20% error: 1.000 subs-only vs 0.934 with 'sdi').
+    Returns int32 arrays (typ, pos, aux, length) of shape (T,)."""
+    import numpy as np
+    typ, pos, aux, ln = [], [], [], []
+    if "s" in kinds:
+        for p in range(k):
+            for x in (1, 2, 3):
+                typ.append(0), pos.append(p), aux.append(x), ln.append(k)
+    if "d" in kinds:
+        for j in range(k):
+            typ.append(1), pos.append(j), aux.append(0), ln.append(k - 1)
+    if "i" in kinds:
+        for j in range(1, k):
+            for c in range(4):
+                typ.append(2), pos.append(j), aux.append(c)
+                ln.append(k + 1)
+    return (np.asarray(typ, np.int32), np.asarray(pos, np.int32),
+            np.asarray(aux, np.int32), np.asarray(ln, np.int32))
+
+
+def backward_search_1edit(win, win_ok, fm, k: int, kinds: str = "s"):
+    """1-edit-tolerant backward search: each (…, k) window is searched
+    as T independent exact tracks covering the selected edit-distance-1
+    pattern families (edit1_tracks above). Returns (lo, hi) uint32 of
+    shape (…, T); empty (0, 0) where invalid or no match.
+
+    This is SURVEY.md §7.2a's pigeonhole construction taken one level
+    down (the GEM ≤e-edit seed semantic): the exact-piece scheme loses
+    every window containing an error, while tolerating one edit
+    multiplies surviving windows ~5-6x on a 28%-total-error read
+    (P(≤1 edit in 15 bases) ≈ 7.8% vs 1.4% clean). Tracks are
+    data-parallel lanes of the same rank recurrence as backward_search,
+    run for k+1 steps with shorter tracks masked when exhausted; each
+    track's character stream is synthesized inside the scan (no
+    (…, T, k) pattern materialization). Every variant differs from the
+    exact piece, so candidate sets are near-disjoint from the exact
+    search's. Cost: ~8k x the exact search's rank gathers — the
+    adaptive re-seed path only (pipeline/aln.py), never the hot
+    path."""
+    win = jnp.asarray(win)
+    shape = win.shape[:-1]
+    typ, pos, aux, ln = (jnp.asarray(a) for a in edit1_tracks(k, kinds))
+    T = typ.shape[0]
+    # substituted char per (…, track): win[pos] ^ aux for sub tracks
+    sub_c = (jnp.clip(jnp.take(win, pos, axis=-1), 0, 3) ^ aux) & 3
+    lo0 = jnp.zeros(shape + (T,), jnp.uint32)
+    hi0 = jnp.broadcast_to(fm["n_rows"], shape + (T,))
+    ok0 = jnp.broadcast_to(win_ok[..., None], shape + (T,))
+
+    def step(t, carry):
+        lo, hi, ok = carry
+        p = ln - 1 - t                       # (T,) pattern position
+        active = p >= 0
+        # pattern[p] -> read-window index (del skips win[pos], ins
+        # shifts back past the inserted gap)
+        idx = p + ((typ == 1) & (p >= pos)) - ((typ == 2) & (p > pos))
+        c = jnp.take(win, jnp.clip(idx, 0, k - 1), axis=-1)
+        c = jnp.where((typ == 0) & (p == pos), sub_c, c)
+        c = jnp.where((typ == 2) & (p == pos), aux, c)
+        c = jnp.clip(c, 0, 3)
+        lo_n = fm["C"][c] + _rank(c, lo, fm["primary"], fm["blk"])
+        hi_n = fm["C"][c] + _rank(c, hi, fm["primary"], fm["blk"])
+        return (jnp.where(active, lo_n, lo), jnp.where(active, hi_n, hi),
+                ok & (~active | (lo_n < hi_n)))
+
+    lo, hi, ok = jax.lax.fori_loop(0, k + 1, step, (lo0, hi0, ok0))
+    return jnp.where(ok, lo, 0), jnp.where(ok, hi, 0)
+
+
 def resolve_rows(rows, valid, fm, sa_rate: int):
     """Rows -> text positions via fixed-trip LF-walk (<= sa_rate steps
     to a value-sampled row). Returns uint32 positions (0 where

@@ -48,6 +48,10 @@ MAX_READ_LEN = 1 << 19
 _RC_TRANS = {i: ord("N") for i in range(256)}
 _RC_TRANS.update(str.maketrans("ACGTN", "TGCAN"))
 
+# invalid-lane sentinel for the merge-rechain sort key
+# ((strand << 51) | (qpos << 32) | rpos fits 52 bits)
+_MERGE_INV = np.int64(1) << 62
+
 
 def _pack_hits_chain(hits, *, weight, lookback, max_dist, diag_slack):
     """Pack the per-read hit+chain arrays into 3 int32 planes for ONE
@@ -103,16 +107,36 @@ def _seed_chain_packed_direct(rc, lens, grid, dense_starts, dense_counts,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("weight", "lookback", "max_dist", "diag_slack"))
+def _chain_packed_only(qpos, rpos, strand, valid, *, weight, lookback,
+                       max_dist, diag_slack):
+    """Chain + pack for an already-assembled hit set (the adaptive
+    union-merge path: host merges original + re-seeded hits, chaining
+    re-runs on device)."""
+    hits = {"qpos": jnp.asarray(qpos), "rpos": jnp.asarray(rpos),
+            "strand": jnp.asarray(strand),
+            "valid": jnp.asarray(valid)}
+    return _pack_hits_chain(hits, weight=weight, lookback=lookback,
+                            max_dist=max_dist, diag_slack=diag_slack)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("k", "cands_per_seed", "max_hits", "weight", "lookback",
-                     "max_dist", "diag_slack", "sa_rate", "seg_quota"))
+                     "max_dist", "diag_slack", "sa_rate", "seg_quota",
+                     "sub1_cands", "sub1_k", "sub1_kinds"))
 def _seed_chain_packed_fm(rc, lens, grid, fm_dev, *, k, cands_per_seed,
                           max_hits, weight, lookback, max_dist, diag_slack,
-                          sa_rate, seg_quota=0):
-    """FM-index variant (whole-genome path)."""
+                          sa_rate, seg_quota=0, sub1_cands=0, sub1_k=0,
+                          sub1_kinds="s"):
+    """FM-index variant (whole-genome path). sub1_cands > 0 adds
+    1-edit-tolerant piece search (adaptive re-seed only)."""
     from lamsa_tpu.pipeline.seeding import seed_hits_fm
     hits = seed_hits_fm(rc.astype(jnp.int32), lens, grid, fm_dev, k=k,
                         cands_per_seed=cands_per_seed, max_hits=max_hits,
-                        sa_rate=sa_rate, seg_quota=seg_quota)
+                        sa_rate=sa_rate, seg_quota=seg_quota,
+                        sub1_cands=sub1_cands, sub1_k=sub1_k,
+                        sub1_kinds=sub1_kinds)
     return _pack_hits_chain(hits, weight=weight, lookback=lookback,
                             max_dist=max_dist, diag_slack=diag_slack)
 
@@ -448,7 +472,7 @@ class Aligner:
                       max_dist=cfg.chain_max_dist,
                       diag_slack=cfg.chain_diag_slack)
 
-        def run(grid):
+        def run(grid, sub1=False):
             if self.seed_backend == "kmer":
                 if "dense_starts" in self._dev:
                     return _seed_chain_packed_direct(
@@ -465,7 +489,10 @@ class Aligner:
                 if self.ref.total_len > 1_000_000_000 else 0
             return _seed_chain_packed_fm(
                 rc, lens, grid, self._dev, sa_rate=self.index.sa_rate,
-                seg_quota=quota, **common)
+                seg_quota=quota,
+                sub1_cands=cfg.seed_1edit_cands if sub1 else 0,
+                sub1_k=self._sub1_k() if sub1 else 0,
+                sub1_kinds=cfg.seed_1edit_kinds, **common)
 
         packed = np.asarray(run(self._grid(L, cfg.seed_step)))[:, :B]
         # Adaptive densification (reference parity: GEM tolerates
@@ -482,15 +509,59 @@ class Aligner:
             valid = ((packed[1] >> 20) & 1).astype(bool)
             fbest = np.where(valid, packed[2] & 0x7FFFF, 0).max(axis=1)
             lens_h = np.asarray(lens)[:B]
-            sparse = (fbest < amin * self.k) \
+            # score trigger, length-scaled: a long read whose BEST
+            # chain is worth only a handful of anchors is deep in the
+            # error tail even if it clears the absolute floor
+            amin_eff = np.maximum(amin, lens_h // 256)
+            sparse = (fbest < amin_eff * self.k) \
                 & (lens_h >= self.k + cfg.seed_step * amin)
+            gw = cfg.adaptive_seed_gap_windows
+            if gw:
+                # coverage trigger: a long read stretch with NO
+                # candidate hit on either strand (e.g. a small SV part
+                # past the exact-piece envelope) cannot be recovered
+                # downstream no matter how well the rest chains — the
+                # score trigger never sees it. Gap threshold is
+                # measured in seed windows: P(a clean window in a
+                # stretch) depends on error rate, so at the <= 15%
+                # design point 40 windows of silence is ~1e-4/stretch
+                # (never fires) while a missed part at 28% error is
+                # near-certain silence.
+                big = np.int64(1) << 30
+                qp = packed[1] & 0x7FFFF
+                st_ = (packed[1] >> 19) & 1
+                coord = np.where(st_ == 1, lens_h[:, None] - qp - self.k,
+                                 qp).astype(np.int64)
+                c = np.sort(np.where(valid, coord, big), axis=1)
+                prev = np.concatenate(
+                    [np.zeros((c.shape[0], 1), c.dtype), c[:, :-1]],
+                    axis=1)
+                inner = np.where(c < big, c - prev, 0).max(axis=1)
+                nv = valid.sum(axis=1)
+                lastc = np.take_along_axis(
+                    c, np.maximum(nv - 1, 0)[:, None], axis=1)[:, 0]
+                endgap = lens_h - self.k - np.where(nv > 0, lastc, 0)
+                gap = np.maximum(inner, endgap)
+                sparse |= (gap >= gw * cfg.seed_step) & (lens_h > 0)
             if sparse.any():
                 from lamsa_tpu.utils.timers import GLOBAL as STATS
                 STATS.count("seed_densified_reads", int(sparse.sum()))
+                # the retry also turns on 1-substitution-tolerant piece
+                # search on the FM backend (GEM ≤e-edit parity, SURVEY
+                # §7.2a) — the exact-piece envelope is what made these
+                # reads sparse in the first place
                 dense = np.asarray(
-                    run(self._grid(L, max(2, cfg.seed_step // 2))))[:, :B]
+                    run(self._grid(L, max(2, cfg.seed_step // 2)),
+                        sub1=self.seed_backend == "fm"))[:, :B]
+                # union-merge: the retry only ADDS evidence. Replacing
+                # hits wholesale let max_hits truncation on the denser
+                # grid drop a small part's hits that the sparse grid
+                # kept (measured part-recall regressions); merging
+                # both sets and re-chaining on device cannot lose
+                # anything either grid found.
                 packed = packed.copy()
-                packed[:, sparse] = dense[:, sparse]
+                packed[:, sparse] = self._merge_rechain(
+                    packed[:, sparse], dense[:, sparse], common)
         return {
             "rpos": packed[0].view(np.uint32).astype(np.int64),
             "qpos": packed[1] & 0x7FFFF,
@@ -499,6 +570,86 @@ class Aligner:
             "f": packed[2] & 0x7FFFF,
             "pred": (packed[2] >> 19) - 1,
         }
+
+    @staticmethod
+    def _merge_rechain(p0, p1, common):
+        """Union of two packed seed+chain results (3, n, H): decode
+        both hit sets, merge + dedup per read, drop diagonal-band
+        singletons/pairs, re-chain on device. Output rows keep the
+        (strand, qpos, rpos) sort the chain kernel requires; overflow
+        past H is truncated after dedup."""
+        n, H = p0.shape[1], p0.shape[2]
+        if n == 0:
+            return p0
+
+        def dec(p):
+            q = (p[1] & 0x7FFFF).astype(np.int64)
+            r = p[0].view(np.uint32).astype(np.int64)
+            s = ((p[1] >> 19) & 1).astype(np.int64)
+            v = ((p[1] >> 20) & 1).astype(bool)
+            return np.where(v, (s << 51) | (q << 32) | r, _MERGE_INV)
+
+        key = np.sort(np.concatenate([dec(p0), dec(p1)], axis=1), axis=1)
+        dup = np.concatenate([np.zeros((n, 1), bool),
+                              key[:, 1:] == key[:, :-1]], axis=1)
+        key = np.where(dup, _MERGE_INV, key)
+        # Diagonal voting: the 1-edit variant tracks add uniform random
+        # hits (~0.1/window), and a random PAIR inside one (diag_slack,
+        # chain_max_dist) volume forms a plausible 2-anchor chain — a
+        # handful of those per read fragment the true part through
+        # foreign-gap splitting, and the noise between true anchors
+        # can push real predecessors beyond the chain lookback
+        # (measured: part coverage collapse at 28% error). True loci
+        # concentrate many hits in one diagonal band; keep only hits
+        # with >= 3 same-strand hits within +-2 bands (band width =
+        # diag_slack). Runs after dedup so a hit found by both grids
+        # votes once.
+        slack = max(int(common["diag_slack"]), 1)
+        valid = key < _MERGE_INV
+        qpos_a = (key >> 32) & 0x7FFFF
+        diag = (key & 0xFFFFFFFF) - qpos_a
+        band = np.where(valid, (key >> 51 << 40) + diag // slack, -1)
+        for i in range(n):
+            b = band[i][valid[i]]
+            if len(b) == 0:
+                continue
+            ub, cnt = np.unique(b, return_counts=True)
+            cmap = dict(zip(ub.tolist(), cnt.tolist()))
+            votes = np.fromiter(
+                (cmap.get(x, 0) + cmap.get(x - 1, 0) + cmap.get(x + 1, 0)
+                 for x in b.tolist()), np.int64, len(b))
+            kill = np.flatnonzero(valid[i])[votes < 3]
+            key[i, kill] = _MERGE_INV
+        key = np.sort(key, axis=1)[:, :H]
+        valid = key < _MERGE_INV
+        qpos = np.where(valid, (key >> 32) & 0x7FFFF, 0).astype(np.int32)
+        rpos = np.where(valid, key & 0xFFFFFFFF, 0).astype(np.uint32)
+        strand = np.where(valid, key >> 51, 0).astype(np.int32)
+        npad = max(8, 1 << (n - 1).bit_length())   # closed signature set
+        if npad != n:
+            pad = ((0, npad - n), (0, 0))
+            qpos = np.pad(qpos, pad)
+            rpos = np.pad(rpos, pad)
+            strand = np.pad(strand, pad)
+            valid = np.pad(valid, pad)
+        out = np.asarray(_chain_packed_only(
+            qpos, rpos, strand, valid, weight=common["weight"],
+            lookback=common["lookback"], max_dist=common["max_dist"],
+            diag_slack=common["diag_slack"]))
+        return out[:, :n]
+
+    def _sub1_k(self) -> int:
+        """Piece length for the 1-edit variant tracks: smallest k1 >= k
+        whose ~8*k1 variant patterns expect < 0.15 random hits per
+        window (deletion tracks are length k1-1, hence the extra
+        weight) — variant noise must not flood max_hits
+        (seed_hits_fm docstring; 15 at 1 Mb, 18 at 64 Mb, 21 at
+        GRCh38 scale)."""
+        t = max(int(self.ref.total_len), 1)
+        k1 = self.k
+        while 8 * k1 * t / (4 ** k1) > 0.15 and k1 < 24:
+            k1 += 1
+        return k1
 
     def _grid(self, L, step):
         """Static qpos sample grid per (bucket length, step), cached +

@@ -212,9 +212,11 @@ N_SEG = 16
 
 @functools.partial(jax.jit, static_argnames=("k", "cands_per_seed",
                                              "max_hits", "sa_rate",
-                                             "seg_quota"))
+                                             "seg_quota", "sub1_cands",
+                                             "sub1_k", "sub1_kinds"))
 def seed_hits_fm(read_codes, read_len, qpos_grid, fm, *, k, cands_per_seed,
-                 max_hits, sa_rate, seg_quota=0):
+                 max_hits, sa_rate, seg_quota=0, sub1_cands=0, sub1_k=0,
+                 sub1_kinds="s"):
     """FM-index variant of seed_hits: same window extraction, same hit
     output contract, but candidate loci come from on-device backward
     search + value-sampled SA resolution (ops/fm.py) instead of the
@@ -229,7 +231,19 @@ def seed_hits_fm(read_codes, read_len, qpos_grid, fm, *, k, cands_per_seed,
     text-pos) contract order. When a read saturates max_hits the
     truncation boundary group keeps smallest-SA-row rather than
     smallest-text-pos candidates — both engines share this code, so
-    engine agreement is unaffected."""
+    engine agreement is unaffected.
+
+    sub1_cands > 0 additionally searches every window's 1-edit
+    variants (ops/fm.py backward_search_1edit — the GEM ≤e-edit seed
+    semantic, SURVEY.md §7.2a) keeping sub1_cands candidate loci per
+    variant track; used by the adaptive re-seed path for reads past
+    the exact-piece error envelope. The variant pieces use their own
+    length sub1_k (>= k, default k): with ~8*k1 variant patterns per
+    window, random matches scale as ~8*k1*genome/4^k1 per window — k1
+    must grow with the genome or variant noise floods max_hits and
+    starves the read tail (the same flooding mode round 2 hit with
+    exact 13-mers at GRCh38 scale; measured at 1 Mb: k1=13 noise
+    collapsed recall 0.95 -> 0.59, k1=15 restored it)."""
     from lamsa_tpu.ops import fm as fmops
 
     B, L = read_codes.shape
@@ -261,11 +275,45 @@ def seed_hits_fm(read_codes, read_len, qpos_grid, fm, *, k, cands_per_seed,
         v = (jnp.int32(strand) << _QPOS_BITS) | qp
         return jnp.where(ok, v, INVALID_K1)
 
-    key1 = jnp.concatenate(
-        [k1(qp_f, 0, ok_f).reshape(B, S * C),
-         k1(qp_r, 1, ok_r).reshape(B, S * C)], axis=1)
-    rows = jnp.concatenate(
-        [rows_f.reshape(B, S * C), rows_r.reshape(B, S * C)], axis=1)
+    key1_parts = [k1(qp_f, 0, ok_f).reshape(B, S * C),
+                  k1(qp_r, 1, ok_r).reshape(B, S * C)]
+    rows_parts = [rows_f.reshape(B, S * C), rows_r.reshape(B, S * C)]
+
+    if sub1_cands:
+        C1 = sub1_cands
+        ks1 = sub1_k or k
+        if ks1 == k:
+            win1, win1_ok = win, win_ok
+        else:
+            win1, win1_ok = extract_windows(read_codes, read_len,
+                                            qpos_grid, ks1)
+        win1_rc = (3 - win1[:, :, ::-1]) & 3
+        lo1f, hi1f = fmops.backward_search_1edit(win1, win1_ok, fm, ks1,
+                                                 kinds=sub1_kinds)
+        lo1r, hi1r = fmops.backward_search_1edit(win1_rc, win1_ok, fm,
+                                                 ks1, kinds=sub1_kinds)
+        T = lo1f.shape[-1]
+        offs1 = jnp.arange(C1, dtype=jnp.uint32)[None, None, None, :]
+
+        def cand1(lo, hi):
+            r = lo[..., None] + offs1                     # (B, S, T, C1)
+            return r, (r < hi[..., None]) & win1_ok[:, :, None, None]
+
+        r1f, o1f = cand1(lo1f, hi1f)
+        r1r, o1r = cand1(lo1r, hi1r)
+        qp1f = jnp.broadcast_to(qp_f[:, :, :1, None], (B, S, T, C1))
+        # rc coords use the SUB1 window length (a ks1-long window at
+        # forward qp occupies rc-read position L - qp - ks1)
+        qp1r = jnp.broadcast_to(
+            (read_len[:, None] - qpos_grid[None, :] - ks1)
+            .astype(jnp.int32)[:, :, None, None], (B, S, T, C1))
+        key1_parts += [k1(qp1f, 0, o1f).reshape(B, S * T * C1),
+                       k1(qp1r, 1, o1r).reshape(B, S * T * C1)]
+        rows_parts += [r1f.reshape(B, S * T * C1),
+                       r1r.reshape(B, S * T * C1)]
+
+    key1 = jnp.concatenate(key1_parts, axis=1)
+    rows = jnp.concatenate(rows_parts, axis=1)
 
     key1, rows = jax.lax.sort((key1, rows), dimension=1, num_keys=1,
                               is_stable=True)

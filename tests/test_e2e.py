@@ -406,6 +406,33 @@ def test_group_blocks_boundaries():
     assert (np.diff(b2) > 0).all()
 
 
+def test_fm_1edit_envelope_at_28pct_error():
+    """GEM ≤e-edit parity (SURVEY.md §7.2a, round-4 judge item 2): on
+    the FM backend the adaptive 1-edit re-seed (sub-variant FM tracks
+    + union-merge + diagonal voting) must hold part_recall >= 0.98 and
+    read accuracy >= 0.95 at 28% total error — the exact-piece scheme
+    measured 0.918/0.875 there in round 4."""
+    from lamsa_tpu.config import preset
+    from lamsa_tpu.index.fmindex import FmIndex
+
+    rng = np.random.default_rng(42)
+    genome = sim.random_genome(rng, 400_000)
+    codes = np.frombuffer(encode_seq(genome[0].seq), np.uint8)
+    offsets = np.array([0, len(codes)], np.int64)
+    ref = PackedReference(names=[genome[0].name], offsets=offsets,
+                          codes=codes,
+                          amb_runs=np.zeros((0, 2), np.int64))
+    fm = FmIndex.build(codes)
+    reads = sim.simulate_reads(np.random.default_rng(7), genome, 24,
+                               read_len=(1000, 3000), sv_fraction=0.2,
+                               sub=0.15, ins=0.07, dele=0.06,
+                               name_prefix="e28")
+    st = evaluate(Aligner(ref, fm, preset("ont")).align_batch(reads),
+                  reads)
+    assert st.part_recall >= 0.98, st.summary()
+    assert st.read_accuracy >= 0.95, st.summary()
+
+
 def test_oversize_gap_anchor_unit_splits():
     """A chained ~4.9 kb interior gap followed by a long merged anchor
     block exceeds the largest DP bucket (MAX_BUCKET_M): the enqueuer

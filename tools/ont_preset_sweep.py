@@ -4,6 +4,11 @@ ONT (non-CCS) reads run ~10-25% total error with a higher substitution
 share than PacBio CLR (which is indel-dominated); the round-3 sweep
 showed the shared preset holds recall 1.000 through 22% and cliffs at
 ~25%. Candidates densify seeding and/or soften the mismatch penalty.
+The `fm+1edit` row runs the FM backend, where the adaptive re-seed
+additionally searches 1-substitution variant pieces (ops/fm.py
+backward_search_1edit + union-merge + diagonal voting) — the round-5
+GEM ≤e-edit parity path; measured 1.000/1.000 through 30% total error
+with the cliff pushed to ~32%.
 Output: a table of part_recall / read_acc per (preset, error profile),
 CPU engine. Run: python tools/ont_preset_sweep.py [n_reads]
 """
@@ -46,29 +51,32 @@ def main():
         "25%": dict(sub=0.13, ins=0.06, dele=0.06),
         "28%": dict(sub=0.15, ins=0.07, dele=0.06),
     }
+    from lamsa_tpu.index.fmindex import FmIndex
+    fm = FmIndex.build(codes)
     pb = preset("pacbio")
     cands = {
-        "pacbio(step10)": pb,
-        "step8": pb.replace(seed_step=8),
-        "step6": pb.replace(seed_step=6),
-        "step8,mm2": pb.replace(
+        "pacbio(step10)": (pb, idx),
+        "step8": (pb.replace(seed_step=8), idx),
+        "step6": (pb.replace(seed_step=6), idx),
+        "step8,mm2": (pb.replace(
             seed_step=8,
             scores=ScoreParams(match=1, mismatch=2, gap_open=2,
-                               gap_ext=1)),
-        "step6,mm2": pb.replace(
+                               gap_ext=1)), idx),
+        "step6,mm2": (pb.replace(
             seed_step=6,
             scores=ScoreParams(match=1, mismatch=2, gap_open=2,
-                               gap_ext=1)),
+                               gap_ext=1)), idx),
+        "fm+1edit(ont)": (preset("ont"), fm),
     }
     print(f"{'preset':16s} " + " ".join(f"{p:>16s}" for p in profiles))
-    for cname, cfg in cands.items():
+    for cname, (cfg, index) in cands.items():
         row = []
         for pname, prof in profiles.items():
             r2 = np.random.default_rng(7)
             reads = sim.simulate_reads(r2, genome, n_reads,
                                        read_len=(1000, 4000),
                                        sv_fraction=0.2, **prof)
-            a = Aligner(ref, idx, cfg)
+            a = Aligner(ref, index, cfg)
             t0 = time.time()
             st = evaluate(a.align_batch(reads), reads)
             row.append(f"{st.part_recall:.3f}/{st.read_accuracy:.3f}"
