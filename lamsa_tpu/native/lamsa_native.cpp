@@ -20,6 +20,7 @@
 #include <cstring>
 #include <vector>
 #include <algorithm>
+#include <thread>
 
 extern "C" {
 
@@ -401,90 +402,126 @@ namespace {
 
 const uint32_t EMPTY_ = 0xFFFFFFFFu;
 
-template <typename C>
-inline bool is_lms(const std::vector<bool>& st, size_t i) {
+inline bool is_lms(const uint8_t* st, size_t i) {
     return i > 0 && st[i] && !st[i - 1];
 }
 
+// Memory-optimal SA-IS (still the published Nong/Zhang/Chan induced-
+// sorting algorithm; the output suffix array is unique, so these
+// engineering changes are bit-exact by construction — property-tested
+// in tests/test_native.py):
+//   * the reduced text s1 and the LMS-position table P live inside
+//     SA's free tail (n1 <= n/2 guarantees the regions never overlap,
+//     including across recursion levels) instead of separate vectors —
+//     at GRCh38 scale this removes ~18 GB of peak RSS;
+//   * the per-symbol histogram is computed ONCE per level (the old
+//     fill_bkt rescanned the whole text on every bucket (re)fill —
+//     ~5 redundant full-text scans per level);
+//   * the suffix-type array is uint8 (vector<bool> bit extraction sat
+//     in the induce inner loops);
+//   * the LMS-substring naming compares run on a small thread pool
+//     (each i compares SA[i] vs SA[i-1] independently; the name
+//     prefix-sum stays sequential).
 template <typename C>
 void sais_impl(const C* T, uint32_t* SA, size_t n, size_t K) {
-    std::vector<bool> st(n);
-    st[n - 1] = true;
+    std::vector<uint8_t> st(n);
+    st[n - 1] = 1;
     for (size_t i = n - 1; i-- > 0;)
         st[i] = (T[i] < T[i + 1]) || (T[i] == T[i + 1] && st[i + 1]);
 
-    std::vector<uint32_t> bkt(K);
+    std::vector<uint32_t> cnt(K, 0u), bkt(K);
+    for (size_t i = 0; i < n; i++) cnt[T[i]]++;
     auto fill_bkt = [&](bool ends) {
-        std::fill(bkt.begin(), bkt.end(), 0u);
-        for (size_t i = 0; i < n; i++) bkt[T[i]]++;
         uint32_t sum = 0;
         for (size_t c = 0; c < K; c++) {
-            sum += bkt[c];
-            bkt[c] = ends ? sum : sum - bkt[c];
+            sum += cnt[c];
+            bkt[c] = ends ? sum : sum - cnt[c];
         }
     };
+    const uint8_t* stp = st.data();
     auto induce = [&]() {
         fill_bkt(false);
         for (size_t i = 0; i < n; i++) {
             uint32_t j = SA[i];
-            if (j != EMPTY_ && j > 0 && !st[j - 1]) SA[bkt[T[j - 1]]++] = j - 1;
+            if (j != EMPTY_ && j > 0 && !stp[j - 1]) SA[bkt[T[j - 1]]++] = j - 1;
         }
         fill_bkt(true);
         for (size_t i = n; i-- > 0;) {
             uint32_t j = SA[i];
-            if (j != EMPTY_ && j > 0 && st[j - 1]) SA[--bkt[T[j - 1]]] = j - 1;
+            if (j != EMPTY_ && j > 0 && stp[j - 1]) SA[--bkt[T[j - 1]]] = j - 1;
         }
     };
 
     std::fill(SA, SA + n, EMPTY_);
     fill_bkt(true);
     for (size_t i = 1; i < n; i++)
-        if (is_lms<C>(st, i)) SA[--bkt[T[i]]] = (uint32_t)i;
+        if (is_lms(stp, i)) SA[--bkt[T[i]]] = (uint32_t)i;
     induce();
 
     size_t n1 = 0;
     for (size_t i = 0; i < n; i++)
-        if (SA[i] != EMPTY_ && is_lms<C>(st, SA[i])) SA[n1++] = SA[i];
+        if (SA[i] != EMPTY_ && is_lms(stp, SA[i])) SA[n1++] = SA[i];
     std::fill(SA + n1, SA + n, EMPTY_);
 
+    // name LMS substrings: parallel per-i "differs from predecessor"
+    // compares, then a sequential prefix-sum into names
     size_t name = 0;
-    uint32_t prev = EMPTY_;
-    for (size_t i = 0; i < n1; i++) {
-        uint32_t pos = SA[i];
-        bool diff = false;
-        if (prev == EMPTY_) diff = true;
-        else {
-            for (size_t d = 0;; d++) {
-                if (pos + d == n || prev + d == n ||
-                    T[pos + d] != T[prev + d] || st[pos + d] != st[prev + d]) {
-                    diff = true;
-                    break;
-                }
-                if (d > 0 && (is_lms<C>(st, pos + d) || is_lms<C>(st, prev + d))) {
-                    diff = !(is_lms<C>(st, pos + d) && is_lms<C>(st, prev + d));
-                    break;
+    if (n1 > 0) {
+        std::vector<uint8_t> diff(n1, 0);
+        auto cmp_range = [&](size_t lo, size_t hi) {
+            for (size_t i = lo; i < hi; i++) {
+                if (i == 0) { diff[0] = 1; continue; }
+                uint32_t pos = SA[i], prev = SA[i - 1];
+                for (size_t d = 0;; d++) {
+                    if (pos + d == n || prev + d == n ||
+                        T[pos + d] != T[prev + d] ||
+                        stp[pos + d] != stp[prev + d]) {
+                        diff[i] = 1;
+                        break;
+                    }
+                    if (d > 0 && (is_lms(stp, pos + d) ||
+                                  is_lms(stp, prev + d))) {
+                        diff[i] = !(is_lms(stp, pos + d) &&
+                                    is_lms(stp, prev + d));
+                        break;
+                    }
                 }
             }
+        };
+        unsigned nt = std::thread::hardware_concurrency();
+        if (nt > 1 && n1 > (1u << 20)) {
+            nt = nt > 4 ? 4 : nt;
+            std::vector<std::thread> ths;
+            size_t per = (n1 + nt - 1) / nt;
+            for (unsigned t = 0; t < nt; t++) {
+                size_t lo = t * per, hi = lo + per < n1 ? lo + per : n1;
+                if (lo < hi) ths.emplace_back(cmp_range, lo, hi);
+            }
+            for (auto& th : ths) th.join();
+        } else {
+            cmp_range(0, n1);
         }
-        if (diff) { name++; prev = pos; }
-        SA[n1 + pos / 2] = (uint32_t)(name - 1);
+        for (size_t i = 0; i < n1; i++) {
+            name += diff[i];
+            uint32_t pos = SA[i];
+            SA[n1 + pos / 2] = (uint32_t)(name - 1);
+        }
     }
-    std::vector<uint32_t> s1(n1);
-    for (size_t i = n1, j = 0; i < n; i++)
-        if (SA[i] != EMPTY_) s1[j++] = SA[i];
+    // compact names into SA's tail: the reduced text s1 = SA[n-n1, n)
+    for (size_t i = n, j = n; i-- > n1;)
+        if (SA[i] != EMPTY_) SA[--j] = SA[i];
+    uint32_t* s1 = SA + n - n1;
 
     if (name < n1) {
-        sais_impl<uint32_t>(s1.data(), SA, n1, name);
+        sais_impl<uint32_t>(s1, SA, n1, name);
     } else {
         for (size_t i = 0; i < n1; i++) SA[s1[i]] = (uint32_t)i;
     }
-    // map reduced SA back to LMS text positions
-    std::vector<uint32_t> P;
-    P.reserve(n1);
-    for (size_t i = 1; i < n; i++)
-        if (is_lms<C>(st, i)) P.push_back((uint32_t)i);
-    for (size_t i = 0; i < n1; i++) s1[i] = SA[i];          // reduced order
-    for (size_t i = 0; i < n1; i++) SA[i] = P[s1[i]];
+    // s1's text is consumed; reuse its region for the LMS position
+    // table P (text order), then map reduced-SA entries to positions
+    for (size_t i = 1, j = 0; i < n; i++)
+        if (is_lms(stp, i)) s1[j++] = (uint32_t)i;
+    for (size_t i = 0; i < n1; i++) SA[i] = s1[SA[i]];
     std::fill(SA + n1, SA + n, EMPTY_);
     fill_bkt(true);
     for (size_t i = n1; i-- > 0;) {
@@ -515,11 +552,30 @@ int lamsa_sais_u8(const uint8_t* T, uint32_t* SA, int64_t n, int32_t K) {
 // sentinel, so output length n-1).
 int64_t lamsa_bwt_from_sa(const uint8_t* codes, const uint32_t* SA,
                           int64_t n, uint8_t* bwt_out) {
-    int64_t primary = -1, w = 0;
-    for (int64_t i = 0; i < n; i++) {
-        uint32_t s = SA[i];
-        if (s == 0) { primary = i; continue; }  // BWT char is sentinel
-        bwt_out[w++] = codes[s - 1];
+    // find the sentinel row first; every output index is then
+    // i - (i > primary), so the fill parallelizes cleanly
+    int64_t primary = -1;
+    for (int64_t i = 0; i < n; i++)
+        if (SA[i] == 0) { primary = i; break; }
+    if (primary < 0) return -1;
+    auto fill = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; i++) {
+            if (i == primary) continue;
+            bwt_out[i - (i > primary)] = codes[SA[i] - 1];
+        }
+    };
+    unsigned nt = std::thread::hardware_concurrency();
+    if (nt > 1 && n > (int64_t)1 << 24) {
+        nt = nt > 4 ? 4 : nt;
+        std::vector<std::thread> ths;
+        int64_t per = (n + nt - 1) / nt;
+        for (unsigned t = 0; t < nt; t++) {
+            int64_t lo = (int64_t)t * per, hi = lo + per < n ? lo + per : n;
+            if (lo < hi) ths.emplace_back(fill, lo, hi);
+        }
+        for (auto& th : ths) th.join();
+    } else {
+        fill(0, n);
     }
     return primary;
 }
