@@ -472,7 +472,7 @@ class Aligner:
                       max_dist=cfg.chain_max_dist,
                       diag_slack=cfg.chain_diag_slack)
 
-        def run(grid, sub1=False):
+        def run(grid, sub1=False, rc=rc, lens=lens):
             if self.seed_backend == "kmer":
                 if "dense_starts" in self._dev:
                     return _seed_chain_packed_direct(
@@ -526,7 +526,14 @@ class Aligner:
                 # stretch) depends on error rate, so at the <= 15%
                 # design point 40 windows of silence is ~1e-4/stretch
                 # (never fires) while a missed part at 28% error is
-                # near-certain silence.
+                # near-certain silence. GATED on the hit budget not
+                # being saturated: when max_hits/seg_quota truncation
+                # bit, hit gaps are budget artifacts, not biology —
+                # ungated, EVERY whole-genome 10 kb read fired (the
+                # quota keeps each segment's first 16 hits, silencing
+                # every segment tail; measured 317 -> 3.7 reads/s at
+                # config 4).
+                nv = valid.sum(axis=1)
                 big = np.int64(1) << 30
                 qp = packed[1] & 0x7FFFF
                 st_ = (packed[1] >> 19) & 1
@@ -537,22 +544,33 @@ class Aligner:
                     [np.zeros((c.shape[0], 1), c.dtype), c[:, :-1]],
                     axis=1)
                 inner = np.where(c < big, c - prev, 0).max(axis=1)
-                nv = valid.sum(axis=1)
                 lastc = np.take_along_axis(
                     c, np.maximum(nv - 1, 0)[:, None], axis=1)[:, 0]
                 endgap = lens_h - self.k - np.where(nv > 0, lastc, 0)
                 gap = np.maximum(inner, endgap)
-                sparse |= (gap >= gw * cfg.seed_step) & (lens_h > 0)
+                sparse |= (gap >= gw * cfg.seed_step) & (lens_h > 0) \
+                    & (nv < int(0.9 * packed.shape[2]))
             if sparse.any():
-                from lamsa_tpu.utils.timers import GLOBAL as STATS
                 STATS.count("seed_densified_reads", int(sparse.sum()))
                 # the retry also turns on 1-substitution-tolerant piece
                 # search on the FM backend (GEM ≤e-edit parity, SURVEY
                 # §7.2a) — the exact-piece envelope is what made these
-                # reads sparse in the first place
+                # reads sparse in the first place. Only the SPARSE
+                # reads re-seed, compacted into a pow2 sub-batch (the
+                # variant-track search on a full 10 kb whole-genome
+                # batch is far too expensive to pay for one read).
+                sel = np.flatnonzero(sparse)
+                Bs = max(8, 1 << max(0, len(sel) - 1).bit_length())
+                if self.mesh is not None:
+                    Bs = max(Bs, self.mesh.devices.size)
+                pad_sel = np.concatenate(
+                    [sel, np.full(Bs - len(sel), int(sel[0]))])
+                rc_s = jnp.take(rc, jnp.asarray(pad_sel), axis=0)
+                lens_s = jnp.take(lens, jnp.asarray(pad_sel), axis=0)
                 dense = np.asarray(
                     run(self._grid(L, max(2, cfg.seed_step // 2)),
-                        sub1=self.seed_backend == "fm"))[:, :B]
+                        sub1=self.seed_backend == "fm",
+                        rc=rc_s, lens=lens_s))[:, :len(sel)]
                 # union-merge: the retry only ADDS evidence. Replacing
                 # hits wholesale let max_hits truncation on the denser
                 # grid drop a small part's hits that the sparse grid
@@ -560,8 +578,8 @@ class Aligner:
                 # both sets and re-chaining on device cannot lose
                 # anything either grid found.
                 packed = packed.copy()
-                packed[:, sparse] = self._merge_rechain(
-                    packed[:, sparse], dense[:, sparse], common)
+                packed[:, sel] = self._merge_rechain(
+                    packed[:, sel], dense, common)
         return {
             "rpos": packed[0].view(np.uint32).astype(np.int64),
             "qpos": packed[1] & 0x7FFFF,
@@ -1024,18 +1042,23 @@ class Aligner:
         SURVEY.md section 0): 40 * (1 - alt/score) scaled by anchor
         count, clamped to [0, 60].
 
-        Calibrated on a repeat-rich simulation (tests/test_mapq.py,
-        BASELINE.md): MAPQ >= 30 records are > 99.9% correct; exact- and
-        2%-diverged-repeat mappings land at MAPQ < 30 because rejected
-        same-coverage chains feed alt_score (skeleton.backtrack_chains
-        own-coverage overlap rule)."""
+        Calibrated on TWO repeat worlds: the duplicated-block world
+        (tests/test_mapq.py: >= 99.9% correct at MAPQ >= 30, ambiguous
+        copies land < 30 because rejected same-coverage chains feed
+        alt_score) and the tandem/family/segdup world
+        (tools/repeat_bench.py, round-5): there, every confidently-
+        wrong record had a strong competing chain (alt 65-85% of
+        score — a diverged family/segdup copy) that the round-4
+        formula's FLAT +20 anchor bonus pushed past 30 anyway. The
+        whole scale is now margin-multiplicative, so no anchor count
+        can buy confidence a live competitor contradicts (measured
+        5.5% -> ~0% wrong at >= 30, BASELINE.md round-5)."""
         s1 = max(part.score, 1)
         s2 = max(sk.alt_score, 0)
         if s2 >= s1:
             return 0
-        m = 40.0 * (1.0 - s2 / s1) * min(1.0, part.n_anchors / 10.0)
-        return int(max(0, min(60, round(m + 20 * min(1.0, part.n_anchors
-                                                     / 20.0)))))
+        m = 60.0 * (1.0 - s2 / s1) * min(1.0, part.n_anchors / 16.0)
+        return int(max(0, min(60, round(m))))
 
 
 def align_reads(ref: PackedReference, index: KmerIndex, reads,

@@ -53,20 +53,50 @@ def window_keys(win, k):
     return key_f, key_r
 
 
-def table_lookup(keys, idx_keys, idx_starts, idx_counts, idx_positions, C):
+def seed_rotation(qpos_grid):
+    """Per-window quasi-random rotation used to place each seed's
+    C-candidate sampling window inside an over-full occurrence list
+    (candidate_rotation below). int32 (S,) from the static grid —
+    deterministic, engine-independent."""
+    return (qpos_grid.astype(jnp.uint32)
+            * jnp.uint32(2654435761)) >> jnp.uint32(8)
+
+
+def candidate_rotation(rot, count, C):
+    """Offset into a key's occurrence list for a seed keeping C of
+    `count` candidates. Occurrence lists are position-sorted, so
+    always keeping the FIRST C biases every seed toward the lowest-
+    coordinate copies of a >C-occurrence repeat family — the read's
+    true (higher-coordinate) copy then never seeds at all and a wrong
+    copy chains confidently (measured: 5% wrong at MAPQ >= 30 on the
+    repeat-family world, tools/repeat_bench.py). Rotating each seed's
+    window by a per-qpos hash samples all copies across a read's
+    seeds. Identity (0) whenever count <= C, so unique-genome hit
+    sets — and every existing world below ~17 copies — are unchanged
+    bit-for-bit."""
+    maxoff = jnp.maximum(count - C + 1, 1).astype(jnp.uint32)
+    return jnp.where(count > C,
+                     (rot % maxoff).astype(jnp.int32), 0)
+
+
+def table_lookup(keys, idx_keys, idx_starts, idx_counts, idx_positions, C,
+                 rot=None):
     """Sorted-table candidate lookup: (…,) keys -> (…, C) positions + ok.
     Keys absent from idx_keys (including any sentinel padding with
-    count 0) yield ok=False lanes."""
+    count 0) yield ok=False lanes. rot: optional per-window rotation
+    (seed_rotation) for >C-occurrence keys."""
     i = jnp.searchsorted(idx_keys, keys)
     i_c = jnp.minimum(i, idx_keys.shape[0] - 1)
     found = (i < idx_keys.shape[0]) & (idx_keys[i_c] == keys)
     start = idx_starts[i_c]
-    count = jnp.minimum(idx_counts[i_c], C)
+    count = idx_counts[i_c]
+    o0 = jnp.zeros_like(count) if rot is None else \
+        candidate_rotation(rot[None, :], count, C)
     offs = jnp.arange(C)[None, None, :]
-    pidx = jnp.minimum(start[..., None] + offs,
+    pidx = jnp.minimum(start[..., None] + o0[..., None] + offs,
                        idx_positions.shape[0] - 1)
     pos = idx_positions[pidx]                                     # (…, C)
-    ok = found[..., None] & (offs < count[..., None])
+    ok = found[..., None] & (o0[..., None] + offs < count[..., None])
     return pos, ok
 
 
@@ -81,7 +111,8 @@ def pack_positions16(positions):
         [p, np.zeros(pad + 16, p.dtype)]).reshape(-1, 16)
 
 
-def table_lookup_direct(keys, dense_starts, dense_counts, pos16, C):
+def table_lookup_direct(keys, dense_starts, dense_counts, pos16, C,
+                        rot=None):
     """Direct-address variant of table_lookup: dense 4^k tables replace
     the binary search with a single gather (k <= 13 keeps the tables at
     2 x 256 MB; pipeline/aln.py builds them for the TPU engine).
@@ -92,10 +123,16 @@ def table_lookup_direct(keys, dense_starts, dense_counts, pos16, C):
     2 gather descriptors per window instead of C elementwise gathers
     (gathers are descriptor-bound on this TPU; this halved the whole
     fused seeding stage at the 10 kb point, BASELINE.md round-4).
-    Requires C <= 16 (start & 15 + C <= 32)."""
+    Requires C <= 16 (start & 15 + C <= 32). rot shifts the sampling
+    window for >C-occurrence keys (candidate_rotation) — the records
+    stay contiguous, so the gather cost is unchanged."""
     assert C <= 16
     start = dense_starts[keys]
-    count = jnp.minimum(dense_counts[keys], C)
+    count = dense_counts[keys]
+    if rot is not None:
+        start = start + candidate_rotation(rot[None, :], count, C)
+        count = count - (start - dense_starts[keys])
+    count = jnp.minimum(count, C)
     rows = (start >> 4)[..., None] + jnp.arange(2, dtype=jnp.int32)
     rec = pos16[jnp.clip(rows, 0, pos16.shape[0] - 1)]
     flat = rec.reshape(*start.shape, 32)
@@ -160,10 +197,11 @@ def seed_hits_direct(read_codes, read_len, qpos_grid, dense_starts,
     C = cands_per_seed
     win, win_ok = extract_windows(read_codes, read_len, qpos_grid, k)
     key_f, key_r = window_keys(win, k)
+    rot = seed_rotation(jnp.asarray(qpos_grid))
     pos_f, ok_f = table_lookup_direct(key_f, dense_starts, dense_counts,
-                                      pos16, C)
+                                      pos16, C, rot=rot)
     pos_r, ok_r = table_lookup_direct(key_r, dense_starts, dense_counts,
-                                      pos16, C)
+                                      pos16, C, rot=rot)
     return pack_hits(qpos_grid, read_len, pos_f, ok_f, pos_r, ok_r, win_ok,
                      k=k, max_hits=max_hits)
 
@@ -188,10 +226,11 @@ def seed_hits(read_codes, read_len, qpos_grid, idx_keys, idx_starts,
     C = cands_per_seed
     win, win_ok = extract_windows(read_codes, read_len, qpos_grid, k)
     key_f, key_r = window_keys(win, k)
+    rot = seed_rotation(jnp.asarray(qpos_grid))
     pos_f, ok_f = table_lookup(key_f, idx_keys, idx_starts, idx_counts,
-                               idx_positions, C)
+                               idx_positions, C, rot=rot)
     pos_r, ok_r = table_lookup(key_r, idx_keys, idx_starts, idx_counts,
-                               idx_positions, C)
+                               idx_positions, C, rot=rot)
     return pack_hits(qpos_grid, read_len, pos_f, ok_f, pos_r, ok_r, win_ok,
                      k=k, max_hits=max_hits)
 
@@ -257,9 +296,16 @@ def seed_hits_fm(read_codes, read_len, qpos_grid, fm, *, k, cands_per_seed,
     lo_r, hi_r = fmops.backward_search(win_rc, win_ok, fm, k)
 
     offs = jnp.arange(C, dtype=jnp.uint32)[None, None, :]
+    rot = seed_rotation(jnp.asarray(qpos_grid))
 
     def cand_rows(lo, hi):
-        rows = lo[:, :, None] + offs
+        # same >C-occurrence rotation as the k-mer paths (SA-row order
+        # is lexicographic, but always-first-C is still one fixed
+        # subset of a repeat family's copies — rotate per seed)
+        o0 = candidate_rotation(rot[None, :],
+                                (hi - lo).astype(jnp.int32), C)
+        rows = lo + o0.astype(jnp.uint32)
+        rows = rows[:, :, None] + offs
         return rows, rows < hi[:, :, None]
 
     rows_f, ok_f = cand_rows(lo_f, hi_f)

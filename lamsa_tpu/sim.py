@@ -45,6 +45,109 @@ def _revcomp(seq: str) -> str:
     return "".join(comp[c] for c in reversed(seq))
 
 
+def _mutate_codes(rng, codes, div, indel_frac=0.1):
+    """Diverge a code array by rate `div`: mostly substitutions (to a
+    different base), a small share of 1-3 bp indels."""
+    out = codes.copy()
+    n_mut = rng.binomial(len(out), div * (1 - indel_frac))
+    if n_mut:
+        pos = rng.choice(len(out), size=n_mut, replace=False)
+        out[pos] = (out[pos] + rng.integers(1, 4, n_mut)) % 4
+    pieces, prev = [], 0
+    for _ in range(rng.binomial(len(out), div * indel_frac)):
+        p = int(rng.integers(prev, len(out))) if prev < len(out) else None
+        if p is None:
+            break
+        ln = int(rng.integers(1, 4))
+        if rng.random() < 0.5:
+            pieces.append(out[prev:p])                       # deletion
+            prev = min(p + ln, len(out))
+        else:
+            pieces.append(out[prev:p])                       # insertion
+            pieces.append(rng.integers(0, 4, ln).astype(out.dtype))
+            prev = p
+    pieces.append(out[prev:])
+    return np.concatenate(pieces)
+
+
+def repeat_genome(rng: np.random.Generator, length: int, *,
+                  tandem_frac: float = 0.12, family_frac: float = 0.28,
+                  segdup_frac: float = 0.10,
+                  name: str = "chr1") -> list[FastxRecord]:
+    """Repeat-realistic synthetic genome (~50% repetitive — the real-
+    genome structure classes that stress chain selection, MAPQ, and
+    hit budgeting, SURVEY.md sections 4/6):
+      * tandem arrays: 50-2000 bp units repeated back-to-back, copies
+        diverged 0.5-8%;
+      * dispersed families: 300-5000 bp consensus planted as many
+        copies at 2-15% divergence, either strand, genome-wide;
+      * segmental duplications: 10-50 kb blocks copied once at 1-5%
+        divergence.
+    The remainder stays unique random sequence. Placement never
+    overlaps another planted feature (unique background only)."""
+    codes = rng.integers(0, 4, length).astype(np.uint8)
+    occupied = np.zeros(length, bool)
+    # bounded placement: every attempt (successful or not) consumes a
+    # try so a crowded genome can never spin forever looking for a
+    # free window (small genomes may simply end a little below the
+    # nominal repeat fraction)
+    tries = [length // 1000 + 300]
+
+    def place(piece):
+        for _ in range(50):
+            tries[0] -= 1
+            if tries[0] <= 0:
+                return False
+            p = int(rng.integers(0, max(length - len(piece), 1)))
+            if not occupied[p:p + len(piece)].any():
+                codes[p:p + len(piece)] = piece
+                occupied[p:p + len(piece)] = True
+                return True
+        return False
+
+    budget = int(length * tandem_frac)
+    while budget > 0 and tries[0] > 0:
+        unit = rng.integers(0, 4, int(rng.integers(50, 2001))) \
+            .astype(np.uint8)
+        n_cp = int(rng.integers(3, 31))
+        arr = [unit]
+        for _ in range(n_cp - 1):
+            arr.append(_mutate_codes(
+                rng, unit, float(rng.uniform(0.005, 0.08))))
+        block = np.concatenate(arr)[:max(budget, len(unit) * 2)]
+        if place(block):
+            budget -= len(block)
+
+    budget = int(length * family_frac)
+    while budget > 0 and tries[0] > 0:
+        cons = rng.integers(0, 4, int(rng.integers(300, 5001))) \
+            .astype(np.uint8)
+        n_cp = int(rng.integers(5, 60))
+        for _ in range(n_cp):
+            if budget <= 0:
+                break
+            cp = _mutate_codes(rng, cons,
+                               float(rng.uniform(0.02, 0.15)))
+            if rng.random() < 0.5:
+                cp = np.ascontiguousarray((3 - cp)[::-1])    # revcomp
+            if place(cp):
+                budget -= len(cp)
+
+    budget = int(length * segdup_frac)
+    max_seg = max(min(50_000, length // 30), 11_000)
+    while budget > 0 and tries[0] > 0:
+        ln = int(rng.integers(10_000, max_seg + 1))
+        src = int(rng.integers(0, length - ln))
+        cp = _mutate_codes(rng, codes[src:src + ln],
+                           float(rng.uniform(0.01, 0.05)))
+        if place(cp):
+            budget -= len(cp)
+
+    base_bytes = np.frombuffer(b"ACGT", np.uint8)
+    return [FastxRecord(name=name, seq=base_bytes[codes].tobytes()
+                        .decode())]
+
+
 def _mutate(rng: np.random.Generator, seq: str, sub: float, ins: float,
             dele: float):
     """Apply a PacBio/ONT-style error model to a perfect read.
