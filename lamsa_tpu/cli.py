@@ -32,6 +32,39 @@ def auto_kmer(genome_len: int) -> int:
 FM_THRESHOLD = 200_000_000
 
 
+def _truncate_sam_to_reads(path: str, n_reads: int) -> int:
+    """Make ``path`` crash-consistent for --resume: keep the header and
+    exactly the first ``n_reads`` reads' records, dropping anything past
+    them (a SIGKILL mid-batch leaves complete records beyond the
+    .progress cursor — it only advances per batch — plus possibly a
+    partial final line). A read's records are contiguous and every read
+    emits >= 1 record (unmapped reads get a flag-4 record), so distinct
+    consecutive QNAMEs count reads. Returns the number of complete
+    reads actually kept (== n_reads unless the file holds fewer)."""
+    import os
+
+    cut = 0          # byte offset after the last line we keep
+    seen = 0         # complete reads fully scanned
+    last = None
+    with open(path, "rb") as fh:
+        for line in fh:
+            if not line.endswith(b"\n"):
+                break                         # partial tail line
+            if line.startswith(b"@"):         # header (QNAME can't start @)
+                cut += len(line)
+                continue
+            qname = line.split(b"\t", 1)[0]
+            if qname != last:
+                if seen >= n_reads:
+                    break
+                seen += 1
+                last = qname
+            cut += len(line)
+    if cut < os.path.getsize(path):
+        os.truncate(path, cut)
+    return min(seen, n_reads)
+
+
 def cmd_index(args) -> int:
     from lamsa_tpu.index.fmindex import FmIndex
     from lamsa_tpu.index.kmer import KmerIndex
@@ -143,6 +176,15 @@ def cmd_aln(args) -> int:
             and prog_path and os.path.exists(prog_path):
         with open(prog_path) as fh:
             skip = int(fh.read().strip() or 0)
+        # a kill mid-batch leaves records past the cursor (it advances
+        # per batch) and possibly a partial line; trim to the cursor so
+        # append yields the same bytes as an uninterrupted run
+        kept = _truncate_sam_to_reads(args.output, skip)
+        if kept < skip:
+            print(f"[lamsa_tpu aln] progress cursor {skip} ahead of "
+                  f"output ({kept} reads); resuming after {kept}",
+                  file=sys.stderr)
+            skip = kept
         print(f"[lamsa_tpu aln] resuming after {skip} reads",
               file=sys.stderr)
         out = open(args.output, "a")
