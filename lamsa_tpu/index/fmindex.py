@@ -72,23 +72,45 @@ class FmIndex:
 
     @classmethod
     def build(cls, codes: np.ndarray, sa_rate: int = SA_RATE) -> "FmIndex":
+        import time as _time
+
         from lamsa_tpu import native
+
+        t0 = _time.time()
+
+        def _phase(name):
+            import sys as _sys
+            print(f"[fmindex build] {name} ({_time.time() - t0:.0f}s)",
+                  file=_sys.stderr, flush=True)
 
         codes = substitute_n(codes)
         n = len(codes)
         sa_full = native.suffix_array_full(codes)         # uint32[n+1]
+        _phase("suffix array")
         bwt, primary = native.bwt_from_sa(codes, sa_full)  # uint8[n]
+        _phase("bwt")
         counts = np.bincount(bwt, minlength=4).astype(np.int64)
         C = np.zeros(5, np.int64)
         C[1:] = np.cumsum(counts)
         C += 1                                             # sentinel row
 
-        # pack 16 bases per uint32
-        pad = (-n) % 16
-        b = np.concatenate([bwt, np.zeros(pad, np.uint8)]).astype(np.uint32)
-        b = b.reshape(-1, 16)
+        # pack 16 bases per uint32 — CHUNKED: a whole-array uint32
+        # upcast plus the shift temporary cost 2 x 12.4 GB at GRCh38
+        # scale, the single biggest RSS spike of the build (measured
+        # 46 GB peak round 5; ~25 GB with this loop)
+        nwords = (n + 15) // 16
+        bwt2 = np.empty(nwords, np.uint32)
         shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
-        bwt2 = np.bitwise_or.reduce(b << shifts, axis=1).astype(np.uint32)
+        CHW = _OCC_CHUNK            # bases per chunk, 16-aligned
+        for s0 in range(0, n, CHW):
+            blk = bwt[s0:s0 + CHW]
+            pad = (-len(blk)) % 16
+            if pad:
+                blk = np.concatenate([blk, np.zeros(pad, np.uint8)])
+            b = blk.astype(np.uint32).reshape(-1, 16)
+            bwt2[s0 // 16:s0 // 16 + len(b)] = \
+                np.bitwise_or.reduce(b << shifts, axis=1)
+        _phase("bwt2 pack")
 
         # occ checkpoints every OCC_RATE bwt chars — chunked so genome-
         # scale builds (GRCh38: n = 3.1e9) avoid (4, n) temporaries
@@ -113,6 +135,7 @@ class FmIndex:
             hi = min(cp0 + per.shape[1], ncp - 1)
             occ[cp0 + 1:hi + 1] = csum[:, :hi - cp0].T.astype(np.uint32)
             running = csum[:, -1]
+        _phase("occ checkpoints")
 
         # value-sampled SA (chunked for the same reason)
         nr = n + 1
@@ -147,6 +170,7 @@ class FmIndex:
             total_marks = int(csum2[-1])
         ssa_pos = np.concatenate(pos_chunks) if pos_chunks \
             else np.zeros(0, np.uint32)
+        _phase("sampled SA")
         return cls(n=n, primary=int(primary), counts=counts, C=C,
                    bwt2=bwt2, occ=occ, ssa_marks=ssa_marks,
                    ssa_rankcp=ssa_rankcp, ssa_pos=ssa_pos,

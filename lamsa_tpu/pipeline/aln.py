@@ -51,6 +51,10 @@ _RC_TRANS.update(str.maketrans("ACGTN", "TGCAN"))
 # invalid-lane sentinel for the merge-rechain sort key
 # ((strand << 51) | (qpos << 32) | rpos fits 52 bits)
 _MERGE_INV = np.int64(1) << 62
+# element budget for one adaptive-retry seeding sub-batch (the sorted
+# key/row arrays, int32 each): bounds the retry's device footprint at
+# whole-genome scale (see _seed_and_chain retry cap note)
+_RETRY_BUDGET_ELEMS = 16_000_000
 
 
 def _pack_hits_chain(hits, *, weight, lookback, max_dist, diag_slack):
@@ -511,8 +515,17 @@ class Aligner:
             lens_h = np.asarray(lens)[:B]
             # score trigger, length-scaled: a long read whose BEST
             # chain is worth only a handful of anchors is deep in the
-            # error tail even if it clears the absolute floor
-            amin_eff = np.maximum(amin, lens_h // 256)
+            # error tail even if it clears the absolute floor. Under
+            # an active seg_quota the achievable anchor count is
+            # budget-capped (stratified sampling keeps ~quota true+
+            # noise candidates per segment, so a HEALTHY config-4
+            # 10 kb read's best chain measures ~25-30 anchors, not
+            # ~lens/256 = 39) — scale the bar down 4x there, keeping
+            # contrast against the deep tail (~5-6 anchors at 28%).
+            quota_on = self.seed_backend == "fm" \
+                and self.ref.total_len > 1_000_000_000
+            amin_eff = np.maximum(
+                amin, lens_h // (1024 if quota_on else 256))
             sparse = (fbest < amin_eff * self.k) \
                 & (lens_h >= self.k + cfg.seed_step * amin)
             gw = cfg.adaptive_seed_gap_windows
@@ -560,26 +573,49 @@ class Aligner:
                 # variant-track search on a full 10 kb whole-genome
                 # batch is far too expensive to pay for one read).
                 sel = np.flatnonzero(sparse)
-                Bs = max(8, 1 << max(0, len(sel) - 1).bit_length())
+                # Sub-batch cap: the sub1 variant-track key/row arrays
+                # scale as B * S_dense * (2C + 2*T*C1) int32 and feed a
+                # lax.sort (multi-x scratch on TPU). At config-4 scale
+                # (L=16384, step 5, T=63) an uncapped pow2 sub-batch
+                # of a 256-read batch built ~2 GB of sort operands and
+                # OOM-crashed the TPU worker (round-5 measured, twice);
+                # cap the retry to an element budget and loop.
+                step_d = max(2, cfg.seed_step // 2)
+                grid_d = self._grid(L, step_d)
+                sub1 = self.seed_backend == "fm"
+                per_read = int(grid_d.shape[0]) * 2 \
+                    * cfg.max_cands_per_seed
+                if sub1 and cfg.seed_1edit_cands:
+                    k1 = self._sub1_k()
+                    T = 3 * k1 * ("s" in cfg.seed_1edit_kinds) \
+                        + k1 * ("d" in cfg.seed_1edit_kinds) \
+                        + 4 * (k1 - 1) * ("i" in cfg.seed_1edit_kinds)
+                    per_read += int(grid_d.shape[0]) * 2 * T \
+                        * cfg.seed_1edit_cands
+                cap = 1 << max(3, (_RETRY_BUDGET_ELEMS
+                                   // max(per_read, 1)).bit_length() - 1)
+                Bs = min(cap,
+                         max(8, 1 << max(0, len(sel) - 1).bit_length()))
                 if self.mesh is not None:
                     Bs = max(Bs, self.mesh.devices.size)
-                pad_sel = np.concatenate(
-                    [sel, np.full(Bs - len(sel), int(sel[0]))])
-                rc_s = jnp.take(rc, jnp.asarray(pad_sel), axis=0)
-                lens_s = jnp.take(lens, jnp.asarray(pad_sel), axis=0)
-                dense = np.asarray(
-                    run(self._grid(L, max(2, cfg.seed_step // 2)),
-                        sub1=self.seed_backend == "fm",
-                        rc=rc_s, lens=lens_s))[:, :len(sel)]
-                # union-merge: the retry only ADDS evidence. Replacing
-                # hits wholesale let max_hits truncation on the denser
-                # grid drop a small part's hits that the sparse grid
-                # kept (measured part-recall regressions); merging
-                # both sets and re-chaining on device cannot lose
-                # anything either grid found.
                 packed = packed.copy()
-                packed[:, sel] = self._merge_rechain(
-                    packed[:, sel], dense, common)
+                for c0 in range(0, len(sel), Bs):
+                    chunk = sel[c0:c0 + Bs]
+                    pad_sel = np.concatenate(
+                        [chunk, np.full(Bs - len(chunk), int(chunk[0]))])
+                    rc_s = jnp.take(rc, jnp.asarray(pad_sel), axis=0)
+                    lens_s = jnp.take(lens, jnp.asarray(pad_sel), axis=0)
+                    dense = np.asarray(
+                        run(grid_d, sub1=sub1,
+                            rc=rc_s, lens=lens_s))[:, :len(chunk)]
+                    # union-merge: the retry only ADDS evidence.
+                    # Replacing hits wholesale let max_hits truncation
+                    # on the denser grid drop a small part's hits that
+                    # the sparse grid kept (measured part-recall
+                    # regressions); merging both sets and re-chaining
+                    # on device cannot lose anything either grid found.
+                    packed[:, chunk] = self._merge_rechain(
+                        packed[:, chunk], dense, common)
         return {
             "rpos": packed[0].view(np.uint32).astype(np.int64),
             "qpos": packed[1] & 0x7FFFF,

@@ -365,7 +365,14 @@ def seed_hits_fm(read_codes, read_len, qpos_grid, fm, *, k, cands_per_seed,
                               is_stable=True)
     if seg_quota:
         # whole-genome fairness (see N_SEG): cap hits per (strand,
-        # read segment), invalidate the excess, re-compact
+        # read segment), invalidate the excess, re-compact. The kept
+        # subset is a STRATIFIED (strided) sample across the segment's
+        # sorted candidates, not the first seg_quota: first-N keeps
+        # only the lowest-qpos window(s)' candidates (C=16 per window
+        # >= the quota), which clusters survivors at segment starts —
+        # measured at config-4 it starved chains of true anchors and
+        # carved ~500-base artificial coverage gaps that fired the
+        # adaptive gap trigger on EVERY 10 kb read (round 5).
         qp = key1 & ((1 << _QPOS_BITS) - 1)
         seg = jnp.minimum(qp * N_SEG // L, N_SEG - 1)
         gid = jnp.where(key1 < INVALID_K1,
@@ -374,7 +381,16 @@ def seed_hits_fm(read_codes, read_len, qpos_grid, fm, *, k, cands_per_seed,
         newg = jnp.concatenate(
             [jnp.ones((B, 1), bool), gid[:, 1:] != gid[:, :-1]], axis=1)
         gstart = jax.lax.cummax(jnp.where(newg, idx, -1), axis=1)
-        drop = (gid >= 0) & (idx - gstart >= seg_quota)
+        total = gid.shape[1]
+        # exclusive suffix-min of group starts = this group's end
+        nxt = jnp.where(newg, idx, total)
+        pad = jnp.full((B, 1), total, jnp.int32)
+        gend = jax.lax.cummin(
+            jnp.concatenate([nxt[:, 1:], pad], axis=1), axis=1,
+            reverse=True)
+        stride = (gend - gstart + seg_quota - 1) // seg_quota
+        off = idx - gstart
+        drop = (gid >= 0) & ((off % jnp.maximum(stride, 1)) != 0)
         key1 = jnp.where(drop, INVALID_K1, key1)
         key1, rows = jax.lax.sort((key1, rows), dimension=1, num_keys=1,
                                   is_stable=True)

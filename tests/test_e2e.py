@@ -432,6 +432,26 @@ def test_fm_1edit_envelope_at_28pct_error():
     assert st.part_recall >= 0.98, st.summary()
     assert st.read_accuracy >= 0.95, st.summary()
 
+    # The retry must produce identical SAM when its element budget
+    # forces the minimum sub-batch (chunked looping): at config-4
+    # scale an uncapped retry sub-batch OOM-crashed the TPU worker
+    # (round 5), so the cap is load-bearing and must be lossless.
+    from lamsa_tpu.io.sam import format_sam_record
+    from lamsa_tpu.pipeline import aln as aln_mod
+    full = [format_sam_record(r)
+            for g in Aligner(ref, fm, preset("ont")).align_batch(reads)
+            for r in g]
+    old = aln_mod._RETRY_BUDGET_ELEMS
+    aln_mod._RETRY_BUDGET_ELEMS = 1      # cap floors at 8 -> 3 chunks
+    try:
+        chunked = [format_sam_record(r)
+                   for g in Aligner(ref, fm,
+                                    preset("ont")).align_batch(reads)
+                   for r in g]
+    finally:
+        aln_mod._RETRY_BUDGET_ELEMS = old
+    assert chunked == full
+
 
 def test_oversize_gap_anchor_unit_splits():
     """A chained ~4.9 kb interior gap followed by a long merged anchor

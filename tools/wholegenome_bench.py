@@ -40,7 +40,7 @@ def build_genome(workdir):
     from lamsa_tpu.io.refpack import PackedReference
     idx_dir = os.path.join(workdir, "index")
     if os.path.isdir(idx_dir) and os.path.exists(
-            os.path.join(idx_dir, "refpack.npz")):
+            os.path.join(idx_dir, "ref2bit.npy")):
         log("loading cached PackedReference")
         return PackedReference.load(idx_dir), idx_dir
     rng = np.random.default_rng(SEED)
