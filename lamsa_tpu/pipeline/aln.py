@@ -371,6 +371,14 @@ class Aligner:
             # gather_packed_run: 8 codes per gathered element).
             total = sum(len(c) for c in codes)
             cap = max(1024, 1 << max(0, (total - 1)).bit_length())
+            # MONOTONIC cap: a ragged tail batch (stream length not a
+            # multiple of batch_reads) would otherwise shrink the flat
+            # array and recompile EVERY DP-bucket signature (flat_dev
+            # feeds each chunk dispatch) inside the run — measured at
+            # config-4: 305 reads/s on clean batches vs 3.6 with a
+            # 128-read tail, ~92 s of in-window relay compiles. Padding
+            # is pure upload slack; results are sliced per read.
+            cap = self._flat_cap = max(cap, getattr(self, "_flat_cap", 0))
             flat = np.full(cap, 4, np.uint8)
             flat_offs = np.zeros(len(codes) + 1, np.int64)
             pos = 0
@@ -446,6 +454,13 @@ class Aligner:
         cfg = self.config
         B = len(idxs)
         Bp = max(8, 1 << (B - 1).bit_length())
+        # monotonic per-bucket Bp (same ragged-tail signature note as
+        # the flat cap): a smaller tail group must reuse the largest
+        # seeding signature already compiled for this length bucket
+        bp_seen = getattr(self, "_bp_seen", None)
+        if bp_seen is None:
+            bp_seen = self._bp_seen = {}
+        Bp = bp_seen[L] = max(Bp, bp_seen.get(L, 0))
         if self.mesh is not None:
             Bp = max(Bp, self.mesh.devices.size)   # both powers of two
         lens = np.zeros(Bp, np.int32)
@@ -516,16 +531,17 @@ class Aligner:
             # score trigger, length-scaled: a long read whose BEST
             # chain is worth only a handful of anchors is deep in the
             # error tail even if it clears the absolute floor. Under
-            # an active seg_quota the achievable anchor count is
-            # budget-capped (stratified sampling keeps ~quota true+
-            # noise candidates per segment, so a HEALTHY config-4
-            # 10 kb read's best chain measures ~25-30 anchors, not
-            # ~lens/256 = 39) — scale the bar down 4x there, keeping
-            # contrast against the deep tail (~5-6 anchors at 28%).
+            # an active seg_quota the length scaling is OFF (plain
+            # amin floor): quota sampling caps a healthy config-4
+            # read's best chain at ~25-30 anchors with a long tail
+            # into the teens, and round 4 measured recall 1.000 there
+            # with NO retry at all — a scaled bar only converts whole
+            # batches into ~8 s sub1 retry passes for zero recall
+            # (round-5 measured: 317 -> 42 reads/s).
             quota_on = self.seed_backend == "fm" \
                 and self.ref.total_len > 1_000_000_000
-            amin_eff = np.maximum(
-                amin, lens_h // (1024 if quota_on else 256))
+            amin_eff = amin if quota_on else np.maximum(
+                amin, lens_h // 256)
             sparse = (fbest < amin_eff * self.k) \
                 & (lens_h >= self.k + cfg.seed_step * amin)
             gw = cfg.adaptive_seed_gap_windows
@@ -535,17 +551,16 @@ class Aligner:
                 # past the exact-piece envelope) cannot be recovered
                 # downstream no matter how well the rest chains — the
                 # score trigger never sees it. Gap threshold is
-                # measured in seed windows: P(a clean window in a
+                # measured in VALID seed windows (windows whose k-mer
+                # contains an ambiguous base can never hit — counting
+                # them made every read spanning a reference N-run
+                # fire, at any genome scale). P(a clean window in a
                 # stretch) depends on error rate, so at the <= 15%
                 # design point 40 windows of silence is ~1e-4/stretch
                 # (never fires) while a missed part at 28% error is
                 # near-certain silence. GATED on the hit budget not
                 # being saturated: when max_hits/seg_quota truncation
-                # bit, hit gaps are budget artifacts, not biology —
-                # ungated, EVERY whole-genome 10 kb read fired (the
-                # quota keeps each segment's first 16 hits, silencing
-                # every segment tail; measured 317 -> 3.7 reads/s at
-                # config 4).
+                # bit, hit gaps are budget artifacts, not biology.
                 nv = valid.sum(axis=1)
                 big = np.int64(1) << 30
                 qp = packed[1] & 0x7FFFF
@@ -553,16 +568,23 @@ class Aligner:
                 coord = np.where(st_ == 1, lens_h[:, None] - qp - self.k,
                                  qp).astype(np.int64)
                 c = np.sort(np.where(valid, coord, big), axis=1)
-                prev = np.concatenate(
-                    [np.zeros((c.shape[0], 1), c.dtype), c[:, :-1]],
-                    axis=1)
-                inner = np.where(c < big, c - prev, 0).max(axis=1)
-                lastc = np.take_along_axis(
-                    c, np.maximum(nv - 1, 0)[:, None], axis=1)[:, 0]
-                endgap = lens_h - self.k - np.where(nv > 0, lastc, 0)
-                gap = np.maximum(inner, endgap)
-                sparse |= (gap >= gw * cfg.seed_step) & (lens_h > 0) \
-                    & (nv < int(0.9 * packed.shape[2]))
+                grid_h = np.asarray(self._grid(L, cfg.seed_step))
+                budget_ok = nv < int(0.9 * packed.shape[2])
+                for b in np.flatnonzero(budget_ok & ~sparse
+                                        & (lens_h > 0)):
+                    ri = idxs[b]
+                    cb = codes[ri]
+                    amb = np.cumsum(
+                        np.concatenate([[0], (cb >= 4).astype(np.int64)]))
+                    g = grid_h[grid_h + self.k <= len(cb)]
+                    vp = g[amb[g + self.k] == amb[g]]   # N-free windows
+                    hits = c[b][c[b] < big]
+                    edges = np.concatenate([[-1], hits,
+                                            [len(cb) - self.k + 1]])
+                    lo_i = np.searchsorted(vp, edges[:-1], side="right")
+                    hi_i = np.searchsorted(vp, edges[1:], side="left")
+                    if (hi_i - lo_i).max(initial=0) >= gw:
+                        sparse[b] = True
             if sparse.any():
                 STATS.count("seed_densified_reads", int(sparse.sum()))
                 # the retry also turns on 1-substitution-tolerant piece
