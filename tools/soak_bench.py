@@ -66,7 +66,8 @@ def ensure_reads(workdir, n_reads):
         while done < n_reads:
             chunk = sample_reads(ref, min(2000, n_reads - done), rng)
             for r in chunk:
-                fh.write(f"@{r.name}\n{r.seq}\n+\n{r.qual}\n")
+                q = r.qual or "I" * len(r.seq)   # sim emits qual=None
+                fh.write(f"@{r.name}\n{r.seq}\n+\n{q}\n")
             done += len(chunk)
             log(f"simulated {done}/{n_reads} reads "
                 f"({time.time() - t0:.0f}s)")
@@ -93,7 +94,10 @@ def run_cli(cwd, out_name, extra, kill_at=None, rss_log=None,
     argv = [sys.executable, "-m", "lamsa_tpu.cli", "aln",
             "-o", out_name, "--stats", "stats.jsonl"] + extra + \
         (["--resume"] if resume else []) + ["genome.fa", "reads.fq"]
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # PREPEND the repo: clobbering PYTHONPATH drops /root/.axon_site,
+    # whose sitecustomize registers the TPU backend
+    env = dict(os.environ, PYTHONPATH=REPO + os.pathsep +
+               os.environ.get("PYTHONPATH", ""))
     t0 = time.time()
     with open(os.path.join(cwd, "cli.log"), "a") as lg:
         proc = subprocess.Popen(argv, cwd=cwd, env=env, stdout=lg,
@@ -234,7 +238,8 @@ def main():
             rc = subprocess.call(
                 [sys.executable, "-m", "lamsa_tpu.cli", "merge", "-o",
                  "merged.sam", "s0.sam", "s1.sam"], cwd=dB,
-                env=dict(os.environ, PYTHONPATH=REPO), stdout=lg,
+                env=dict(os.environ, PYTHONPATH=REPO + os.pathsep +
+                         os.environ.get("PYTHONPATH", "")), stdout=lg,
                 stderr=lg)
         assert rc == 0, f"merge failed rc={rc}"
         dA = os.path.join(args.workdir, "soak", "runA")

@@ -129,7 +129,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/root/wg_bench")
     ap.add_argument("--reads", type=int, default=384)
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=256)   # one default
+    # config across scales (round-5: 305 reads/s here, 594 at the
+    # small-genome 10 kb point, same settings)
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
 
